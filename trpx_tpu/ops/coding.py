@@ -1,0 +1,344 @@
+"""TPU device path: vectorized TRPX encode/decode in JAX (XLA-fusable jnp).
+
+Design (TPU-first, not a translation of the C++ serial bit loop):
+
+Encode (per frame, all static shapes, runs under ``jit``/``vmap``):
+  1. per-block OR-reduce of magnitudes -> significant-bit widths (VPU)
+  2. header bits/values from ``width != prev`` (elementwise)
+  3. exclusive prefix sum of block bit lengths -> absolute bit offsets
+  4. every field (header or value) becomes <=3 uint32 word contributions
+     (shift/mask); contributions to one word never share bit positions, so
+     ADD == OR and the pack is three *sorted* segment-sums (XLA scatter-add)
+
+Decode: given per-block widths + payload offsets (from the host header walk,
+or from the encoder's own plan), every value is an independent gather of two
+words + shift/mask — fully parallel.
+
+The serial bitstream of the reference (Bit_pointer.hpp append/get loops,
+Terse.hpp:500-549,352-389) is replaced by this offset-table decomposition;
+bit-for-bit output equality is property-tested against format/pycodec.py and
+the compiled reference binary.
+
+Supported device dtypes: (u)int8/16/32. 64-bit frames take the host path
+(format/pycodec.py) — TPUs have no native 64-bit lanes and the reference
+itself is broken beyond 32 bits (SURVEY B6).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.header import TrpxMeta
+from ..format.pycodec import TrpxArchive, walk_frame
+from ..format.spec import DEFAULT_BLOCK, frame_nbytes
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+_DEVICE_DTYPES = {
+    np.dtype(np.uint8): (False, 8),
+    np.dtype(np.uint16): (False, 16),
+    np.dtype(np.uint32): (False, 32),
+    np.dtype(np.int8): (True, 9),
+    np.dtype(np.int16): (True, 17),
+    np.dtype(np.int32): (True, 33),
+}
+
+
+@dataclass(frozen=True)
+class FrameSpec:
+    """Static (compile-time) description of one frame's encoding problem."""
+
+    n: int          # values per frame
+    block: int      # values per block
+    signed: bool
+    max_width: int  # widest possible field for the dtype (incl. sign bit)
+
+    @property
+    def nb(self) -> int:
+        return -(-self.n // self.block)
+
+    @property
+    def n_padded(self) -> int:
+        return self.nb * self.block
+
+    @property
+    def worst_bits(self) -> int:
+        return self.n_padded * self.max_width + self.nb * 12
+
+    @property
+    def n_words(self) -> int:
+        # +2 pad words so decode-side gathers of words[W+1] stay in bounds
+        return -(-self.worst_bits // 32) + 2
+
+    @classmethod
+    def for_dtype(cls, n: int, dtype, block: int = DEFAULT_BLOCK) -> "FrameSpec":
+        dtype = np.dtype(dtype)
+        if dtype not in _DEVICE_DTYPES:
+            raise TypeError(
+                f"device path supports (u)int8/16/32, got {dtype}; "
+                "use the host codec for 64-bit data"
+            )
+        signed, max_width = _DEVICE_DTYPES[dtype]
+        spec = cls(n=n, block=block, signed=signed, max_width=max_width)
+        if spec.worst_bits >= 2**31:
+            raise ValueError("frame too large for 32-bit bit offsets")
+        return spec
+
+
+def _mask_for(width):
+    """(1 << width) - 1 as uint32, saturating at width >= 32."""
+    w = jnp.clip(width, 0, 31).astype(_U32)
+    m = (_U32(1) << w) - _U32(1)
+    return jnp.where(width >= 32, jnp.uint32(0xFFFFFFFF), m)
+
+
+def _shr_into_next_word(x, s):
+    """x >> (32 - s) with well-defined result 0 at s == 0 (uint32)."""
+    s = s.astype(_U32)
+    return (x >> (_U32(31) - s)) >> _U32(1)
+
+
+def plan_frame(spec: FrameSpec, frame: jax.Array):
+    """Per-block width/header/offset tables for one frame.
+
+    frame: (n_padded,) int32 (signed dtypes) or uint32-bitcastable int32.
+    Returns dict of (nb,) arrays + scalar total_bits.
+    """
+    nb, B = spec.nb, spec.block
+    v = frame.astype(_I32)
+    if spec.signed:
+        # |v| via negate-select; int32 min wraps to itself and bitcasts to
+        # 2**31 as uint32 — exactly the magnitude we need
+        mag = jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
+    else:
+        mag = jax.lax.bitcast_convert_type(v, _U32)
+    setbits = jnp.bitwise_or.reduce(mag.reshape(nb, B), axis=1)
+    nz = setbits != 0
+    width = jnp.where(nz, _I32(32) - jax.lax.clz(setbits).astype(_I32), _I32(0))
+    if spec.signed:
+        width = width + nz.astype(_I32)  # one sign bit (Terse.hpp:553-554)
+
+    prev = jnp.concatenate([jnp.zeros((1,), _I32), width[:-1]])
+    repeat = width == prev
+    hb = jnp.where(
+        repeat, 1, jnp.where(width < 7, 4, jnp.where(width < 10, 6, 12))
+    ).astype(_I32)
+    hv = jnp.where(
+        repeat,
+        1,
+        jnp.where(
+            width < 7,
+            width << 1,
+            jnp.where(
+                width < 10,
+                (0b111 | ((width - 7) << 3)) << 1,
+                (0b11111 | ((width - 10) << 5)) << 1,
+            ),
+        ),
+    ).astype(_U32)
+
+    counts = jnp.clip(spec.n - jnp.arange(nb, dtype=_I32) * B, 0, B)
+    block_bits = hb + width * counts
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), _I32), jnp.cumsum(block_bits)[:-1].astype(_I32)]
+    )
+    total_bits = starts[-1] + block_bits[-1]
+    return dict(
+        width=width, hb=hb, hv=hv, counts=counts, starts=starts,
+        total_bits=total_bits, mag_or=setbits,
+    )
+
+
+def _scatter_parts(lo, hi, off, n_words):
+    """Pack fields (lo:hi 64-bit value, already masked to field width) at bit
+    offsets ``off`` into a uint32 word array. Bit-disjointness makes ADD==OR,
+    and each of the three part streams has monotonic word indices."""
+    s = (off & 31).astype(_U32)
+    w0 = off >> 5
+    p0 = lo << s
+    p1 = _shr_into_next_word(lo, s) | jnp.where(s == 0, hi, hi << s)
+    p2 = _shr_into_next_word(hi, s)
+    words = jnp.zeros((n_words,), _U32)
+    for part, idx in ((p0, w0), (p1, w0 + 1), (p2, w0 + 2)):
+        words = words + jax.ops.segment_sum(
+            part, idx, num_segments=n_words, indices_are_sorted=True
+        )
+    return words
+
+
+def encode_frame_device(spec: FrameSpec, frame: jax.Array):
+    """Encode one padded frame -> (words uint32[n_words], total_bits, max_width).
+
+    ``frame``: (n_padded,) of the input dtype (padding values must be 0).
+    """
+    B, nb = spec.block, spec.nb
+    plan = plan_frame(spec, frame)
+    width, hb, hv, starts = plan["width"], plan["hb"], plan["hv"], plan["starts"]
+
+    v = frame.astype(_I32).reshape(nb, B)
+    u = jax.lax.bitcast_convert_type(v, _U32)
+    w2 = width[:, None]
+    lo = u & _mask_for(w2)
+    # the only >32-bit field is int32's width-33 (sign bit is bit 32)
+    hi = ((v < 0) & (w2 == 33)).astype(_U32) if spec.max_width > 32 else jnp.zeros_like(u)
+
+    j = jnp.arange(B, dtype=_I32)[None, :]
+    voff = (starts + hb)[:, None] + j * w2
+    # lanes beyond the real frame length contribute nothing
+    gi = jnp.arange(nb, dtype=_I32)[:, None] * B + j
+    valid = gi < spec.n
+    lo = jnp.where(valid, lo, _U32(0))
+    hi = jnp.where(valid, hi, _U32(0))
+
+    words = _scatter_parts(lo.reshape(-1), hi.reshape(-1), voff.reshape(-1),
+                           spec.n_words)
+    words = words + _scatter_parts(hv, jnp.zeros_like(hv), starts, spec.n_words)
+    return words, plan["total_bits"], jnp.max(width)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def encode_batch_device(spec: FrameSpec, frames: jax.Array):
+    """vmap of encode_frame_device over a (F, n_padded) batch."""
+    return jax.vmap(lambda f: encode_frame_device(spec, f))(frames)
+
+
+def _pad_batch(frames: np.ndarray, spec: FrameSpec) -> np.ndarray:
+    F = frames.shape[0]
+    out = np.zeros((F, spec.n_padded), dtype=frames.dtype)
+    out[:, : spec.n] = frames
+    return out
+
+
+def encode(
+    frames: np.ndarray,
+    block: int = DEFAULT_BLOCK,
+    dimensions: tuple[int, ...] = (),
+) -> TrpxArchive:
+    """Host wrapper: encode frames on the device and assemble a byte-exact
+    ``.trpx`` archive.
+
+    ``frames``: (n,) one frame, (F, n) a batch of flat frames, or (F, h, w)
+    a stack of images (dimensions inferred). Unlike format.pycodec's
+    convenience API, 2-D here always means a batch.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    elif frames.ndim == 3:
+        if not dimensions:
+            dimensions = (frames.shape[2], frames.shape[1])
+        frames = frames.reshape(frames.shape[0], -1)
+    elif frames.ndim != 2:
+        raise ValueError("frames must be 1-D, 2-D (batch) or 3-D (image stack)")
+    F, n = frames.shape
+    spec = FrameSpec.for_dtype(n, frames.dtype, block)
+    words, bits, maxw = jax.device_get(
+        encode_batch_device(spec, _pad_batch(frames, spec))
+    )
+    return assemble_archive(spec, words, bits, maxw, dimensions)
+
+
+def assemble_archive(
+    spec: FrameSpec,
+    words: np.ndarray,
+    bits: np.ndarray,
+    maxw: np.ndarray,
+    dimensions: tuple[int, ...] = (),
+) -> TrpxArchive:
+    """Concatenate per-frame word buffers into the final byte stream
+    (frames are byte-aligned with a terminal byte each — Terse.hpp:547)."""
+    F = words.shape[0]
+    nbytes = [frame_nbytes(int(b)) for b in bits]
+    total = int(np.sum(nbytes))
+    payload = np.zeros(total, dtype=np.uint8)
+    pos = 0
+    byte_view = words.view(np.uint8).reshape(F, -1)  # little-endian words
+    for f in range(F):
+        nb_f = nbytes[f]
+        payload[pos : pos + nb_f] = byte_view[f, :nb_f]
+        pos += nb_f
+    meta = TrpxMeta(
+        prolix_bits=int(np.max(maxw)),
+        signed=spec.signed,
+        block=spec.block,
+        memory_size=total,
+        number_of_values=spec.n,
+        dimensions=tuple(dimensions),
+        number_of_frames=F,
+    )
+    return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()))
+
+
+# ---------------------------------------------------------------- decode ---
+
+
+def decode_frame_device(
+    spec: FrameSpec, words: jax.Array, width: jax.Array, poff: jax.Array
+):
+    """Parallel unpack: (n_words,) uint32 + per-block width/payload-offset
+    tables -> (n_padded,) int32 values (sign-extended iff spec.signed)."""
+    nb, B = spec.nb, spec.block
+    j = jnp.arange(B, dtype=_I32)[None, :]
+    w2 = width[:, None]
+    off = poff[:, None] + j * w2
+    W = off >> 5
+    s = (off & 31).astype(_U32)
+    lo = words[W]
+    hi = words[W + 1]
+    u = (lo >> s) | jnp.where(s == 0, _U32(0), (hi << (_U32(31) - s)) << _U32(1))
+    u = u & _mask_for(w2)
+    if spec.signed:
+        # sign-extend w-bit two's complement into the int32 lane. Fields with
+        # w >= 32 already fill the lane: for w == 33 (only reachable from
+        # int32 data) the low 32 bits ARE the exact int32 pattern, since
+        # bit 32 of a 33-bit sign extension of an int32 equals bit 31.
+        top = jnp.where(
+            w2 > 0, (u >> jnp.clip(w2 - 1, 0, 31).astype(_U32)) & _U32(1), _U32(0)
+        )
+        ext = jnp.where((w2 < 32) & (top == 1), ~_mask_for(w2), _U32(0))
+        u = u | ext
+    vals = jax.lax.bitcast_convert_type(u, _I32)
+    return vals.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def decode_batch_device(spec: FrameSpec, words, widths, poffs):
+    return jax.vmap(lambda w, wd, po: decode_frame_device(spec, w, wd, po))(
+        words, widths, poffs
+    )
+
+
+def decode(archive: TrpxArchive, dtype) -> np.ndarray:
+    """Host wrapper: header walk (serial, host) + parallel device unpack.
+    Returns (F, n) array of ``dtype``."""
+    dtype = np.dtype(dtype)
+    meta = archive.meta
+    spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
+    F, nb = meta.number_of_frames, spec.nb
+    widths = np.zeros((F, nb), dtype=np.int32)
+    poffs = np.zeros((F, nb), dtype=np.int32)
+    words = np.zeros((F, spec.n_words), dtype=np.uint32)
+    pos = 0
+    payload = archive.payload
+    for f in range(F):
+        w, o, nxt = walk_frame(payload, pos, meta.number_of_values, meta.block)
+        widths[f] = w
+        poffs[f] = o - pos * 8  # offsets relative to this frame's first byte
+        chunk = payload[pos:nxt]
+        arr = np.frombuffer(chunk, dtype=np.uint8)
+        wbuf = np.zeros(spec.n_words * 4, dtype=np.uint8)
+        wbuf[: len(arr)] = arr
+        words[f] = wbuf.view(np.uint32)
+        pos = nxt
+    vals = np.asarray(
+        jax.device_get(decode_batch_device(spec, words, widths, poffs))
+    )[:, : meta.number_of_values]
+    if dtype == np.uint32:
+        return vals.view(np.uint32)
+    return vals.astype(dtype)
