@@ -1,0 +1,310 @@
+"""Greyscale TIFF ingest/emit — the container layer of the framework.
+
+A from-scratch numpy implementation with the same capability envelope as the
+reference's ``Grey_tif`` (Grey_tif.hpp:321-873): uncompressed single-sample
+(greyscale) baseline TIFF, 8/16/32/64-bit, signed/unsigned/float, single
+images or stacks, both endiannesses on read, native-endian on write.
+
+Accepted tag set and validation rules mirror ``f_make_Image``
+(Grey_tif.hpp:710-827):
+
+* 0x0100 ImageWidth, 0x0101 ImageLength
+* 0x0102 BitsPerSample ∈ {8, 16, 32, 64}
+* 0x0103 Compression must be 1 (uncompressed)
+* 0x0106 PhotometricInterpretation ≤ 1
+* 0x0111 StripOffsets (multi-strip allowed, strips must be contiguous —
+  Grey_tif.hpp:803-809)
+* 0x0115 SamplesPerPixel must be 1
+* 0x0117 StripByteCounts
+* 0x0153 SampleFormat 1=unsigned / 2=signed / 3=float
+
+The writer mirrors ``f_push_back`` (Grey_tif.hpp:601-625): 8-byte header,
+pixel data first, 2-byte padding to even offsets, then a 7-tag IFD per image
+(0x0100, 0x0101, 0x0102, 0x0103, 0x0106, 0x0111, 0x0153) with SHORT values
+except the LONG strip offset, and a chained next-IFD pointer. Width goes to
+0x0100 and height to 0x0101 — the convention of the empty-image overload used
+by the ``prolix`` CLI. (The reference's *container* ``push_back`` overload
+swaps them — quirk Q1, Grey_tif.hpp:531-532 vs :615-616 — which we
+deliberately do not imitate; only square images ever round-trip through that
+path anyway.)
+
+Array convention: each image is a 2-D numpy array of shape
+``(height, width)`` = (tag 0x0101, tag 0x0100), row-major — matching the
+TIFF strip layout directly.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# (bits, sample_format) -> dtype; sample_format: 1 unsigned, 2 signed, 3 float
+_DTYPES: dict[tuple[int, int], np.dtype] = {
+    (8, 1): np.dtype(np.uint8),
+    (8, 2): np.dtype(np.int8),
+    (16, 1): np.dtype(np.uint16),
+    (16, 2): np.dtype(np.int16),
+    (32, 1): np.dtype(np.uint32),
+    (32, 2): np.dtype(np.int32),
+    (32, 3): np.dtype(np.float32),
+    (64, 1): np.dtype(np.uint64),
+    (64, 2): np.dtype(np.int64),
+    (64, 3): np.dtype(np.float64),
+}
+
+_SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
+
+# IFD field types and their byte sizes (TIFF 6.0); the subset the reference
+# emits/reads: 1=BYTE, 3=SHORT, 4=LONG (Grey_tif.hpp:829-840, :743-750)
+_FIELD_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4}
+
+
+class TiffError(ValueError):
+    """Raised for files outside the supported greyscale-TIFF envelope
+    (the reference throws std::runtime_error — Grey_tif.hpp:810-811)."""
+
+
+@dataclass
+class TiffStack:
+    """A stack of greyscale images (possibly of different dtypes)."""
+
+    images: list[np.ndarray] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.images[i]
+
+    def __iter__(self):
+        return iter(self.images)
+
+    @property
+    def dims(self) -> tuple[int, int]:
+        """(width, height) of the first image — the ``dim()`` the CLI stores
+        into the .trpx ``dimensions`` attribute (terse.cpp:70-71)."""
+        h, w = self.images[0].shape
+        return (w, h)
+
+    def uniform(self) -> bool:
+        """True if all images share shape and dtype (terse.cpp:65-67
+        requires uniform stacks)."""
+        first = self.images[0]
+        return all(
+            im.shape == first.shape and im.dtype == first.dtype
+            for im in self.images
+        )
+
+    def as_array(self) -> np.ndarray:
+        """(F, h, w) array; requires a uniform stack."""
+        if not self.uniform():
+            raise TiffError("stack images differ in shape or dtype")
+        return np.stack(self.images)
+
+
+def _read_val(data: bytes, fmt_u16: str, fmt_u32: str, entry: bytes,
+              base: memoryview):
+    """Decode one 12-byte IFD entry -> (tag, list-of-values)."""
+    tag, ftype = struct.unpack(fmt_u16 + fmt_u16[-1], entry[0:4])
+    (count,) = struct.unpack(fmt_u32, entry[4:8])
+    if ftype not in _FIELD_SIZE:
+        return tag, None  # unknown field type: ignore the tag
+    fsize = _FIELD_SIZE[ftype]
+    nbytes = fsize * count
+    if nbytes <= 4:
+        raw = entry[8 : 8 + nbytes]
+    else:
+        (off,) = struct.unpack(fmt_u32, entry[8:12])
+        if off + nbytes > len(base):
+            raise TiffError("IFD value offset out of bounds")
+        raw = bytes(base[off : off + nbytes])
+    if fsize == 1:
+        vals = list(raw)
+    elif fsize == 2:
+        vals = list(struct.unpack(fmt_u16[0] + "H" * count, raw))
+    else:
+        vals = list(struct.unpack(fmt_u32[0] + "I" * count, raw))
+    return tag, vals
+
+
+def read_tiff(src) -> TiffStack:
+    """Parse a greyscale TIFF (bytes, path, or file object) into a TiffStack.
+
+    Mirrors Grey_tif's reader: IFD chain walk, tag validation, strip
+    contiguity check, and endian normalization of pixel data
+    (Grey_tif.hpp:675-827).
+    """
+    if isinstance(src, (str, os.PathLike)):
+        with open(src, "rb") as f:
+            data = f.read()
+    elif isinstance(src, (bytes, bytearray, memoryview)):
+        data = bytes(src)
+    else:
+        data = src.read()
+    if len(data) < 8:
+        raise TiffError("not a TIFF: file shorter than header")
+    if data[0:2] == b"II":
+        end = "<"
+    elif data[0:2] == b"MM":
+        end = ">"
+    else:
+        raise TiffError("not a TIFF: bad byte-order mark")
+    u16, u32 = end + "H", end + "I"
+    (magic,) = struct.unpack(u16, data[2:4])
+    if magic != 42:
+        raise TiffError("not a TIFF: magic != 42")
+    (ifd_off,) = struct.unpack(u32, data[4:8])
+
+    base = memoryview(data)
+    stack = TiffStack()
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise TiffError("cyclic IFD chain")
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            raise TiffError("IFD offset out of bounds")
+        (n_entries,) = struct.unpack(u16, data[ifd_off : ifd_off + 2])
+        tags: dict[int, list[int]] = {}
+        pos = ifd_off + 2
+        if pos + 12 * n_entries + 4 > len(data):
+            raise TiffError("truncated IFD")
+        for _ in range(n_entries):
+            tag, vals = _read_val(data, u16, u32, data[pos : pos + 12], base)
+            if vals is not None:
+                tags[tag] = vals
+            pos += 12
+        (ifd_off,) = struct.unpack(u32, data[pos : pos + 4])
+
+        stack.images.append(_make_image(base, end, tags))
+    if not stack.images:
+        raise TiffError("TIFF contains no images")
+    return stack
+
+
+def _make_image(base: memoryview, end: str, tags: dict[int, list[int]]) -> np.ndarray:
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise TiffError(f"missing required TIFF tag 0x{tag:04x}")
+            return default
+        return tags[tag][0]
+
+    width = one(0x0100)
+    height = one(0x0101)
+    bits = one(0x0102, 8)
+    if bits not in (8, 16, 32, 64):
+        raise TiffError(f"unsupported BitsPerSample {bits} (Grey_tif.hpp:755-762)")
+    if one(0x0103, 1) != 1:
+        raise TiffError("compressed TIFF not supported (Grey_tif.hpp:763-766)")
+    if one(0x0106, 1) > 1:
+        raise TiffError("non-greyscale photometric (Grey_tif.hpp:767-770)")
+    if one(0x0115, 1) != 1:
+        raise TiffError("SamplesPerPixel != 1 (Grey_tif.hpp:784-787)")
+    fmt = one(0x0153, 1)
+    if (bits, fmt) not in _DTYPES:
+        raise TiffError(f"unsupported SampleFormat {fmt} at {bits} bits")
+    offsets = tags.get(0x0111)
+    if not offsets:
+        raise TiffError("missing StripOffsets")
+    counts = tags.get(0x0117)
+    nbytes = width * height * (bits // 8)
+    if counts is None:
+        # the reference tolerates a missing StripByteCounts for single-strip
+        # files (it only uses counts for the contiguity check)
+        counts = [nbytes]
+    # strips must be contiguous in the file (Grey_tif.hpp:803-809)
+    if len(offsets) > 1:
+        run = offsets[0]
+        for off, cnt in zip(offsets, counts):
+            if off != run:
+                raise TiffError("non-contiguous TIFF strips (Grey_tif.hpp:803-809)")
+            run = off + cnt
+    if sum(counts) < nbytes:
+        raise TiffError("strip byte counts smaller than image")
+    start = offsets[0]
+    if start + nbytes > len(base):
+        raise TiffError("pixel data out of bounds")
+    dtype = _DTYPES[(bits, fmt)].newbyteorder(end)
+    arr = np.frombuffer(base, dtype=dtype, count=width * height, offset=start)
+    # normalize to native endianness like Grey_tif does in place
+    # (Grey_tif.hpp:814-823)
+    arr = arr.astype(dtype.newbyteorder("="), copy=True)
+    return arr.reshape(height, width)
+
+
+def _ifd_entry(tag: int, ftype: int, value: int) -> bytes:
+    """One 12-byte little-endian IFD entry, count 1 (Grey_tif.hpp:829-840)."""
+    raw = struct.pack("<HHI", tag, ftype, 1)
+    if ftype == 3:
+        return raw + struct.pack("<HH", value, 0)
+    return raw + struct.pack("<I", value)
+
+
+def write_tiff(images, dst=None) -> bytes | None:
+    """Serialize image(s) to an uncompressed greyscale TIFF.
+
+    ``images``: one 2-D array, a (F, h, w) array, a list of 2-D arrays, or a
+    TiffStack. Written little-endian ("II") regardless of host byte order,
+    data-first like the reference (header, pixels, IFD — Grey_tif.hpp:601-625,
+    so pixels of image 0 start at byte 8). Returns the bytes, or writes to
+    ``dst`` (path or file object) if given.
+    """
+    if isinstance(images, TiffStack):
+        imgs = images.images
+    elif isinstance(images, np.ndarray):
+        imgs = [images] if images.ndim == 2 else list(images)
+    else:
+        imgs = list(images)
+    if not imgs:
+        raise TiffError("no images to write")
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, 0)
+    last_ifd_ptr = 4  # file offset of the pointer to patch (Grey_tif.hpp:339)
+    for img in imgs:
+        img = np.ascontiguousarray(img)
+        if img.ndim != 2:
+            raise TiffError("each image must be 2-D (height, width)")
+        if img.dtype.kind not in _SAMPLE_FORMAT:
+            raise TiffError(f"unsupported dtype {img.dtype}")
+        bits = img.dtype.itemsize * 8
+        fmt = _SAMPLE_FORMAT[img.dtype.kind]
+        if (bits, fmt) not in _DTYPES:
+            raise TiffError(f"unsupported dtype {img.dtype}")
+        h, w = img.shape
+        data_start = len(out)
+        out += img.astype(img.dtype.newbyteorder("<"), copy=False).tobytes()
+        if len(out) & 1:
+            out += b"\x00"  # word-align the IFD (Grey_tif.hpp:608-611)
+        ifd_at = len(out)
+        struct.pack_into("<I", out, last_ifd_ptr, ifd_at)
+        nbytes = h * w * (bits // 8)
+        entries = [
+            _ifd_entry(0x0100, 3 if w < 65536 else 4, w),
+            _ifd_entry(0x0101, 3 if h < 65536 else 4, h),
+            _ifd_entry(0x0102, 3, bits),
+            _ifd_entry(0x0103, 3, 1),
+            _ifd_entry(0x0106, 3, 1),
+            _ifd_entry(0x0111, 4, data_start),
+            _ifd_entry(0x0117, 4, nbytes),
+            _ifd_entry(0x0153, 3, fmt),
+        ]
+        out += struct.pack("<H", len(entries))
+        for e in entries:
+            out += e
+        last_ifd_ptr = len(out)
+        out += struct.pack("<I", 0)
+
+    blob = bytes(out)
+    if dst is None:
+        return blob
+    if isinstance(dst, (str, os.PathLike)):
+        with open(dst, "wb") as f:
+            f.write(blob)
+    else:
+        dst.write(blob)
+    return None
