@@ -6,10 +6,18 @@ everywhere and exercises the multi-chip sharding logic on virtual devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault: the shell may carry JAX_PLATFORMS=<tpu-platform>)
+# — the suite must see the virtual 8-device CPU mesh. The env var alone is
+# not enough: an installed TPU PJRT plugin can still win the default-backend
+# race, so pin it through jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 from pathlib import Path

@@ -1,0 +1,173 @@
+"""CLI + high-level API tests, incl. end-to-end interop with the reference."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from trpx_tpu import api
+from trpx_tpu.cli.main import main, prolix_main, terse_main
+from trpx_tpu.format import pycodec
+from trpx_tpu.io import read_tiff, write_tiff
+from trpx_tpu.io.trpx import read_trpx, write_trpx
+
+
+def _frame(rng, shape=(32, 32), dtype=np.uint16):
+    img = rng.poisson(3.0, size=shape).astype(dtype)
+    img.reshape(-1)[rng.integers(0, img.size, 10)] = 40000
+    return img
+
+
+# ------------------------------------------------------------------- api ---
+
+
+def test_api_roundtrip_2d():
+    rng = np.random.default_rng(0)
+    img = _frame(rng)
+    arch = api.compress(img)
+    assert arch.meta.dimensions == (32, 32)
+    out = api.decompress(arch)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def test_api_roundtrip_stack_host_and_device():
+    rng = np.random.default_rng(1)
+    frames = rng.poisson(3.0, size=(4, 16, 16)).astype(np.uint16)
+    a_dev = api.compress(frames)
+    a_host = api.compress(frames, device=False)
+    assert a_dev.to_bytes() == a_host.to_bytes()
+    np.testing.assert_array_equal(api.decompress(a_dev), frames)
+    np.testing.assert_array_equal(api.decompress(a_host, device=False), frames)
+
+
+def test_api_float_truncates_like_reference():
+    x = np.array([[1.9, -2.9], [3.5, 0.0]], dtype=np.float64)
+    arch = api.compress(x)
+    out = api.decompress(arch)
+    np.testing.assert_array_equal(out, np.array([[1, -2], [3, 0]]))
+
+
+def test_api_output_dtype_dispatch():
+    from trpx_tpu.format.header import TrpxMeta
+
+    def m(bits, signed):
+        return TrpxMeta(prolix_bits=bits, signed=signed, block=12,
+                        memory_size=1, number_of_values=1)
+
+    assert api.output_dtype(m(7, False)) == np.uint16
+    assert api.output_dtype(m(16, False)) == np.uint16
+    assert api.output_dtype(m(17, False)) == np.uint32  # B3 fixed
+    assert api.output_dtype(m(33, False)) == np.uint64
+    assert api.output_dtype(m(16, True)) == np.int16
+    assert api.output_dtype(m(30, True)) == np.int32
+    assert api.output_dtype(m(40, True)) == np.int64
+
+
+def test_api_int64_host_path():
+    vals = np.array([2**40, -(2**40), 17], dtype=np.int64)
+    arch = api.compress(vals)
+    out = api.decompress(arch)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_api_errors():
+    with pytest.raises(TypeError):
+        api.compress(np.zeros(4, dtype=np.complex64))
+    arch = api.compress(np.array([-1, 2], dtype=np.int16))
+    with pytest.raises(TypeError):
+        api.decompress(arch, dtype=np.uint16)
+
+
+# ------------------------------------------------------------------- cli ---
+
+
+def test_cli_encode_decode_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.poisson(3.0, size=(3, 24, 24)).astype(np.uint16)
+    src = tmp_path / "movie.tif"
+    write_tiff(frames, src)
+    assert terse_main([str(src), "-verbose"]) == 0
+    assert src.exists()  # no --delete-inputs -> kept
+    trpx = tmp_path / "movie.trpx"
+    assert trpx.exists()
+    arch = read_trpx(trpx)
+    assert arch.meta.number_of_frames == 3
+    assert prolix_main([str(trpx), "--out-dir", str(tmp_path / "out")]) == 0
+    stack = read_tiff(tmp_path / "out" / "movie.tif")
+    np.testing.assert_array_equal(stack.as_array(), frames)
+
+
+def test_cli_delete_inputs(tmp_path):
+    rng = np.random.default_rng(3)
+    src = tmp_path / "a.tif"
+    write_tiff(_frame(rng), src)
+    assert terse_main([str(src), "--delete-inputs"]) == 0
+    assert not src.exists()
+    assert (tmp_path / "a.trpx").exists()
+
+
+def test_cli_skips_nonmatching_and_recovers(tmp_path, capsys):
+    good = tmp_path / "ok.tif"
+    write_tiff(np.zeros((4, 4), np.uint16), good)
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(b"not a tiff")
+    other = tmp_path / "notes.txt"
+    other.write_text("hi")
+    assert terse_main([str(bad), str(other), str(good)]) == 0
+    err = capsys.readouterr().err
+    assert "bad.tif" in err
+    assert (good.with_suffix(".trpx")).exists()
+    assert not (tmp_path / "notes.trpx").exists()
+
+
+def test_cli_square_fallback_when_no_dims(tmp_path):
+    """Archives without a dimensions attribute decode to sqrt(size) squares
+    (prolix.cpp:62-63)."""
+    rng = np.random.default_rng(4)
+    vals = rng.poisson(3.0, size=64).astype(np.uint16)
+    arch = pycodec.encode(vals)  # 1-D: no dimensions attribute
+    assert arch.meta.dimensions == ()
+    p = tmp_path / "nodim.trpx"
+    write_trpx(arch, p)
+    assert prolix_main([str(p)]) == 0
+    img = read_tiff(tmp_path / "nodim.tif")[0]
+    assert img.shape == (8, 8)
+    np.testing.assert_array_equal(img.reshape(-1), vals)
+
+
+def test_trpx_umbrella(tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    src = tmp_path / "x.tif"
+    write_tiff(_frame(rng), src)
+    assert main(["encode", str(src)]) == 0
+    assert main(["info", str(tmp_path / "x.trpx")]) == 0
+    out = capsys.readouterr().out
+    assert "frames           1" in out
+    assert main(["decode", str(tmp_path / "x.trpx"), "--out-dir",
+                 str(tmp_path / "o")]) == 0
+    np.testing.assert_array_equal(
+        read_tiff(tmp_path / "o" / "x.tif")[0], read_tiff(src)[0]
+    )
+
+
+def test_cli_interop_with_reference(tmp_path, reference_cli):
+    """Our terse output is decodable by reference prolix and vice versa."""
+    rng = np.random.default_rng(6)
+    img = _frame(rng, (48, 48))
+    ours = tmp_path / "ours"
+    ours.mkdir()
+    write_tiff(img, ours / "f.tif")
+    assert terse_main([str(ours / "f.tif")]) == 0
+    subprocess.run([str(reference_cli["prolix"]), str(ours / "f.trpx")],
+                   check=True, capture_output=True, cwd=ours)
+    np.testing.assert_array_equal(read_tiff(ours / "f.tif")[0], img)
+
+    theirs = tmp_path / "theirs"
+    theirs.mkdir()
+    write_tiff(img, theirs / "g.tif")
+    subprocess.run([str(reference_cli["terse"]), str(theirs / "g.tif")],
+                   check=True, capture_output=True, cwd=theirs)
+    assert prolix_main([str(theirs / "g.trpx")]) == 0
+    np.testing.assert_array_equal(read_tiff(theirs / "g.tif")[0], img)

@@ -1,0 +1,249 @@
+"""CLI layer: ``terse`` / ``prolix`` (reference-compatible) and ``trpx``.
+
+Flag and file semantics mirror the reference CLIs (terse.cpp:20-104,
+prolix.cpp:18-128): positional file arguments, ``-help``, ``-verbose``,
+non-matching extensions silently skipped, per-file error recovery, and the
+same verbose report (files / user time / IO time / compression rate).
+
+Deliberate divergences (documented in SURVEY §5):
+
+* input files are only deleted when ``--delete-inputs`` is passed — the
+  reference deletes unconditionally (terse.cpp:82, prolix.cpp:110) with no
+  fsync/rename safety;
+* output files are written to a temp name and atomically renamed;
+* the 32-bit decode paths are correct (reference bug B3) and 64-bit streams
+  are supported rather than refused;
+* ``--block``, ``--out-dir``, ``--host`` extensions.
+
+The ``trpx`` umbrella command adds ``info`` and explicit ``encode``/
+``decode`` subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .. import api
+from ..format.pycodec import TrpxArchive
+from ..format.spec import DEFAULT_BLOCK
+from ..io import read_tiff, write_tiff
+from ..io.trpx import read_trpx, write_trpx
+
+_TIF_EXTS = {".tif", ".tiff", ".TIF", ".TIFF"}
+
+
+def _configure_jax() -> None:
+    """Make the CLI responsive: honor JAX_PLATFORMS even when a TPU plugin
+    would otherwise win the default-backend race, and turn on the persistent
+    compilation cache so repeated invocations skip XLA compiles."""
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    cache = os.environ.get(
+        "TRPX_JAX_CACHE", os.path.expanduser("~/.cache/trpx_tpu/jax")
+    )
+    if cache and cache != "0":
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+
+
+def _atomic_write(path: Path, writer) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        writer(f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("files", nargs="*", help="input files")
+    p.add_argument("-verbose", "--verbose", action="store_true",
+                   help="print file names, compute times and compression rate")
+    p.add_argument("--delete-inputs", action="store_true",
+                   help="delete input files after successful conversion "
+                        "(the reference always deletes; we require opt-in)")
+    p.add_argument("--out-dir", type=Path, default=None,
+                   help="write outputs here instead of next to inputs")
+    p.add_argument("--block", type=int, default=DEFAULT_BLOCK,
+                   help=f"values per block (default {DEFAULT_BLOCK})")
+    p.add_argument("--host", action="store_true",
+                   help="force the host codec (no device/JAX path)")
+
+
+def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
+    dst = src.with_suffix(ext)
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        dst = out_dir / dst.name
+    return dst
+
+
+def _encode_files(args) -> int:
+    user_time = io_time = 0.0
+    total_tif = total_trpx = 0
+    n_done = 0
+    device = False if args.host else None
+    if not args.host:
+        _configure_jax()
+    for name in args.files:
+        src = Path(name)
+        if not (src.is_file() and src.suffix in _TIF_EXTS):
+            continue  # same skip rule as terse.cpp:45-48
+        try:
+            t0 = time.perf_counter()
+            stack = read_tiff(src)
+            t1 = time.perf_counter()
+            if not stack.uniform():
+                raise ValueError(
+                    "TIFF file contains a stack of images with varying sizes."
+                )
+            frames = stack.as_array()
+            total_tif += frames.nbytes
+            archive = api.compress(
+                frames, block=args.block,
+                dimensions=stack.dims, device=device,
+            )
+            total_trpx += archive.meta.memory_size
+            t2 = time.perf_counter()
+            _atomic_write(_out_path(src, ".trpx", args.out_dir),
+                          lambda f: write_trpx(archive, f))
+            t3 = time.perf_counter()
+            if args.delete_inputs:
+                print(f"Deleting original TIFF file: {src}")
+                src.unlink()
+            n_done += 1
+            user_time += t2 - t1
+            io_time += (t1 - t0) + (t3 - t2)
+        except Exception as e:  # per-file recovery (terse.cpp:88-90)
+            print(f"Error processing {src}: {e}", file=sys.stderr)
+    if args.verbose:
+        for name in args.files:
+            print(f"Compressed: {name}")
+        print(f"Terse compressed: {n_done} files")
+        print(f"User time       : {user_time:g} seconds")
+        print(f"IO time         : {io_time:g} seconds")
+        if total_tif > 0:
+            rate = round(1000 * (1 - total_trpx / total_tif)) / 10
+            print(f"Compression rate: {rate}%")
+    return 0
+
+
+def _decode_files(args) -> int:
+    user_time = io_time = 0.0
+    n_done = 0
+    device = False if args.host else None
+    if not args.host:
+        _configure_jax()
+    for name in args.files:
+        src = Path(name)
+        if not (src.is_file() and src.suffix == ".trpx"):
+            continue
+        try:
+            t0 = time.perf_counter()
+            archive = read_trpx(src)
+            t1 = time.perf_counter()
+            meta = archive.meta
+            if len(meta.dimensions) >= 2:
+                w, h = meta.dimensions[0], meta.dimensions[1]
+            else:
+                # square fallback (prolix.cpp:62-63)
+                w = h = int(math.isqrt(meta.number_of_values))
+            pixels = api.decompress(archive, device=device)
+            pixels = pixels.reshape(meta.number_of_frames, h, w)
+            t2 = time.perf_counter()
+            _atomic_write(_out_path(src, ".tif", args.out_dir),
+                          lambda f: write_tiff(pixels, f))
+            t3 = time.perf_counter()
+            if args.delete_inputs:
+                print(f"Deleting trpx file: {src}")
+                src.unlink()
+            n_done += 1
+            user_time += t2 - t1
+            io_time += (t1 - t0) + (t3 - t2)
+        except Exception as e:
+            print(f"Error processing {src}: {e}", file=sys.stderr)
+    if args.verbose:
+        print(f"Prolix expanded: {n_done} files")
+        print(f"User time      : {user_time:g} seconds")
+        print(f"IO time        : {io_time:g} seconds")
+    return 0
+
+
+def _info_files(args) -> int:
+    for name in args.files:
+        meta = read_trpx(Path(name)).meta
+        raw = meta.number_of_values * meta.number_of_frames * (
+            2 if meta.prolix_bits <= 16 else (4 if meta.prolix_bits <= 32 else 8)
+        )
+        print(f"{name}:")
+        print(f"  frames           {meta.number_of_frames}")
+        print(f"  values/frame     {meta.number_of_values}")
+        print(f"  dimensions       {' '.join(map(str, meta.dimensions)) or '-'}")
+        print(f"  signed           {int(meta.signed)}")
+        print(f"  prolix_bits      {meta.prolix_bits}")
+        print(f"  block            {meta.block}")
+        print(f"  payload bytes    {meta.memory_size}")
+        print(f"  compression      {meta.memory_size / raw:.4f} of raw")
+    return 0
+
+
+def terse_main(argv=None) -> int:
+    """``terse`` — compress .tif/.tiff files to .trpx (terse.cpp:20)."""
+    p = argparse.ArgumentParser(
+        prog="terse", add_help=False,
+        description="compresses all files with .tiff or .tif extensions to "
+                    "terse files with .trpx extensions.",
+    )
+    p.add_argument("-help", "--help", action="help", help="print help")
+    _common_flags(p)
+    return _encode_files(p.parse_args(argv))
+
+
+def prolix_main(argv=None) -> int:
+    """``prolix`` — expand .trpx files to .tif (prolix.cpp:18)."""
+    p = argparse.ArgumentParser(
+        prog="prolix", add_help=False,
+        description="expands trpx files to tiff files.",
+    )
+    p.add_argument("-help", "--help", action="help", help="print help")
+    _common_flags(p)
+    return _decode_files(p.parse_args(argv))
+
+
+def main(argv=None) -> int:
+    """``trpx`` — umbrella command: encode / decode / info."""
+    p = argparse.ArgumentParser(prog="trpx",
+                                description="TPU-native TRPX codec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    enc = sub.add_parser("encode", help="compress TIFF files to .trpx")
+    _common_flags(enc)
+    enc.set_defaults(fn=_encode_files)
+    dec = sub.add_parser("decode", help="expand .trpx files to TIFF")
+    _common_flags(dec)
+    dec.set_defaults(fn=_decode_files)
+    info = sub.add_parser("info", help="print .trpx header metadata")
+    info.add_argument("files", nargs="+")
+    info.set_defaults(fn=_info_files)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

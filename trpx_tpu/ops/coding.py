@@ -258,6 +258,8 @@ def assemble_archive(
     total = int(np.sum(nbytes))
     payload = np.zeros(total, dtype=np.uint8)
     pos = 0
+    # device_get can hand back non-contiguous arrays (TPU layout padding)
+    words = np.ascontiguousarray(words)
     byte_view = words.view(np.uint8).reshape(F, -1)  # little-endian words
     for f in range(F):
         nb_f = nbytes[f]

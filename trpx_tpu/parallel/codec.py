@@ -1,0 +1,240 @@
+"""Frame-parallel TRPX codec over a device mesh.
+
+The reference is strictly single-threaded (SURVEY §2: no threads, no MPI,
+no accelerator); the parallel dimension of this framework is specified by
+the BASELINE north star, and frames are its natural data-parallel axis —
+``f_compress`` is called once per frame with no cross-frame state except the
+running ``prolix_bits`` max (Terse.hpp:269,301,516), which is an associative
+reduction.
+
+Design (idiomatic JAX, not a translation):
+
+* one ``Mesh`` axis ``"frames"`` spanning all chips (ICI) and hosts (DCN);
+* ``shard_map`` runs the per-frame device encoder on each shard with **zero
+  communication in the hot path**;
+* the only collective is an ``all_gather`` of the per-frame compressed byte
+  counts (the "block-size/frame-size table"), from which every device — and
+  every host — derives the absolute byte offset of each of its frames in the
+  final archive via one exclusive cumsum. Hosts can then write their shards
+  into the output file at those offsets independently and in parallel; the
+  resulting archive is byte-identical to the single-process (and reference)
+  encoder output by construction.
+* decode mirrors it: the (cheap, serial) header walk yields width/offset
+  tables host-side; frames then unpack fully parallel across the mesh.
+
+Multi-host execution uses the same code path via ``jax.distributed`` — each
+process feeds its local shard of frames; ``dryrun_multichip`` in
+``__graft_entry__.py`` validates the sharded compile on N virtual devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..format.header import TrpxMeta
+from ..format.pycodec import TrpxArchive, walk_frame
+from ..format.spec import DEFAULT_BLOCK, frame_nbytes
+from ..ops.coding import (
+    FrameSpec,
+    decode_frame_device,
+    encode_frame_device,
+)
+
+AXIS = "frames"
+
+
+def default_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over all available devices (the frame axis)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (AXIS,))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
+    """Sharded encode step: per-frame words/bits + global byte offsets.
+
+    ``frames``: (F, n_padded), F divisible by mesh size, sharded on axis 0.
+    Returns (words (F, n_words) sharded, nbytes (F,), offsets (F,),
+    total_bytes scalar, prolix_bits scalar) — the last three replicated.
+    """
+
+    def local_encode(frames_local):
+        words, bits, maxw = jax.vmap(
+            lambda f: encode_frame_device(spec, f)
+        )(frames_local)
+        nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
+        # the one collective: all-gather the per-frame size table
+        sizes = jax.lax.all_gather(nbytes_local, AXIS)  # (ndev, F_local)
+        flat = sizes.reshape(-1)  # frame order == shard order (contiguous)
+        ends = jnp.cumsum(flat)
+        offsets = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+        total = ends[-1]
+        me = jax.lax.axis_index(AXIS)
+        f_local = frames_local.shape[0]
+        my_offsets = jax.lax.dynamic_slice_in_dim(
+            offsets, me * f_local, f_local
+        )
+        prolix = jax.lax.pmax(jnp.max(maxw), AXIS)
+        return words, nbytes_local, my_offsets, total, prolix
+
+    return shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=P(AXIS, None),
+        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P()),
+        check_rep=False,
+    )(frames)
+
+
+@dataclass(frozen=True)
+class ShardedCodec:
+    """Sharded encode/decode over a fixed mesh + frame geometry."""
+
+    spec: FrameSpec
+    mesh: Mesh
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.size
+
+    def _shard(self, arr: np.ndarray, spec: P) -> jax.Array:
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def pad_frames(self, frames: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad (F, n) to (F', n_padded): F' a multiple of the mesh size,
+        values padded with zeros (zero blocks cost 1 header bit each)."""
+        F, n = frames.shape
+        if n != self.spec.n:
+            raise ValueError(f"frames have {n} values, spec says {self.spec.n}")
+        Fp = -(-F // self.ndev) * self.ndev
+        out = np.zeros((Fp, self.spec.n_padded), dtype=frames.dtype)
+        out[:F, : self.spec.n] = frames
+        return out, F
+
+    def encode(
+        self, frames: np.ndarray, dimensions: tuple[int, ...] = ()
+    ) -> TrpxArchive:
+        """Encode (F, n) frames mesh-parallel into a byte-exact archive."""
+        padded, F = self.pad_frames(frames)
+        x = self._shard(padded, P(AXIS, None))
+        words, nbytes, offsets, total, prolix = jax.device_get(
+            _encode_sharded_jit(self.spec, self.mesh, x)
+        )
+        return self.assemble(
+            words[:F], nbytes[:F], offsets[:F], int(prolix), F, dimensions
+        )
+
+    def assemble(
+        self,
+        words: np.ndarray,
+        nbytes: np.ndarray,
+        offsets: np.ndarray,
+        prolix_bits: int,
+        n_frames: int,
+        dimensions: tuple[int, ...] = (),
+    ) -> TrpxArchive:
+        """Ordered concat of per-frame streams at their absolute offsets."""
+        total = int(offsets[n_frames - 1] + nbytes[n_frames - 1])
+        payload = np.zeros(total, dtype=np.uint8)
+        words = np.ascontiguousarray(words)
+        byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
+        for f in range(n_frames):
+            off, nb = int(offsets[f]), int(nbytes[f])
+            payload[off : off + nb] = byte_view[f, :nb]
+        meta = TrpxMeta(
+            prolix_bits=prolix_bits,
+            signed=self.spec.signed,
+            block=self.spec.block,
+            memory_size=total,
+            number_of_values=self.spec.n,
+            dimensions=tuple(dimensions),
+            number_of_frames=n_frames,
+        )
+        return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()))
+
+    # ------------------------------------------------------------ decode ---
+
+    def decode(self, archive: TrpxArchive, dtype) -> np.ndarray:
+        """Mesh-parallel decode -> (F, n) array of ``dtype``."""
+        dtype = np.dtype(dtype)
+        meta = archive.meta
+        F, nb = meta.number_of_frames, self.spec.nb
+        Fp = -(-F // self.ndev) * self.ndev
+        widths = np.zeros((Fp, nb), dtype=np.int32)
+        poffs = np.zeros((Fp, nb), dtype=np.int32)
+        words = np.zeros((Fp, self.spec.n_words), dtype=np.uint32)
+        payload = archive.payload
+        pos = 0
+        for f in range(F):  # serial header walk (SURVEY §7 hard part 3)
+            w, o, nxt = walk_frame(payload, pos, meta.number_of_values,
+                                   meta.block)
+            widths[f] = w
+            poffs[f] = o - pos * 8
+            chunk = np.frombuffer(payload[pos:nxt], dtype=np.uint8)
+            wbuf = np.zeros(self.spec.n_words * 4, dtype=np.uint8)
+            wbuf[: len(chunk)] = chunk
+            words[f] = wbuf.view(np.uint32)
+            pos = nxt
+        vals = jax.device_get(
+            _decode_sharded_jit(
+                self.spec,
+                self.mesh,
+                self._shard(words, P(AXIS, None)),
+                self._shard(widths, P(AXIS, None)),
+                self._shard(poffs, P(AXIS, None)),
+            )
+        )[:F, : meta.number_of_values]
+        if dtype == np.uint32:
+            return vals.view(np.uint32)
+        return vals.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _decode_sharded_jit(spec, mesh, words, widths, poffs):
+    def local(words_l, widths_l, poffs_l):
+        return jax.vmap(
+            lambda w, wd, po: decode_frame_device(spec, w, wd, po)
+        )(words_l, widths_l, poffs_l)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=P(AXIS, None),
+        check_rep=False,
+    )(words, widths, poffs)
+
+
+def encode_sharded(
+    frames: np.ndarray,
+    block: int = DEFAULT_BLOCK,
+    dimensions: tuple[int, ...] = (),
+    mesh: Mesh | None = None,
+) -> TrpxArchive:
+    """One-shot sharded encode of (F, n) or (F, h, w) frames."""
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        if not dimensions:
+            dimensions = (frames.shape[2], frames.shape[1])
+        frames = frames.reshape(frames.shape[0], -1)
+    mesh = mesh or default_mesh()
+    spec = FrameSpec.for_dtype(frames.shape[1], frames.dtype, block)
+    return ShardedCodec(spec, mesh).encode(frames, dimensions)
+
+
+def decode_sharded(
+    archive: TrpxArchive, dtype, mesh: Mesh | None = None
+) -> np.ndarray:
+    """One-shot sharded decode -> (F, n)."""
+    mesh = mesh or default_mesh()
+    meta = archive.meta
+    spec = FrameSpec.for_dtype(meta.number_of_values, np.dtype(dtype),
+                               meta.block)
+    return ShardedCodec(spec, mesh).decode(archive, dtype)
