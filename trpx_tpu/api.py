@@ -75,6 +75,16 @@ def compress(
         from . import ops  # deferred: jax import is heavy
 
         return ops.encode(stack, block=block, dimensions=dims)
+    return _host_encode(stack, block, dims)
+
+
+def _host_encode(stack, block, dims) -> TrpxArchive:
+    from . import native
+
+    if native.available():
+        from .native import codec as ncodec
+
+        return ncodec.encode(stack, block=block, dimensions=dims)
     return pycodec.encode(list(stack), block=block, dimensions=dims)
 
 
@@ -129,7 +139,14 @@ def decompress(
 
         out = ops.decode(archive, dtype)
     else:
-        out = pycodec.decode(archive, dtype)
+        from . import native
+
+        if native.available():
+            from .native import codec as ncodec
+
+            out = ncodec.decode(archive, dtype)
+        else:
+            out = pycodec.decode(archive, dtype)
     if len(meta.dimensions) == 2:
         w, h = meta.dimensions
         if w * h == meta.number_of_values:

@@ -1,0 +1,207 @@
+"""Native host runtime: ctypes bindings to the C++ codec (host_codec.cpp).
+
+The shared library is compiled on demand with the system ``g++`` into a
+per-source-hash cache directory (no pip/pybind11 dependency) and loaded via
+ctypes. Everything degrades gracefully: if no compiler is available,
+``available()`` returns False and callers fall back to the pure-Python
+normative codec.
+
+Why native code here: the bitstream's serial parts — the per-block header
+walk on decode and the whole encoder for 64-bit dtypes the device path
+can't take — are pointer-chasing bit arithmetic, exactly what a CPU does
+well and Python does ~1000x too slowly for 10k-frame stacks. The device
+(JAX/Pallas) path remains the compute path for (u)int8/16/32 frames.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("host_codec.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+#: slack bytes required past logical buffer ends (16-byte window memcpys)
+SLACK = 16
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get("TRPX_NATIVE_CACHE",
+                          os.path.expanduser("~/.cache/trpx_tpu/native"))
+    return Path(root)
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    d = _cache_dir()
+    so = d / f"host_codec_{tag}.so"
+    if so.exists():
+        return so
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+            suffix=".so", dir=d, delete=False
+        ) as tmp:
+            tmp_path = Path(tmp.name)
+        cmd = [
+            os.environ.get("CXX", "g++"), "-std=c++20", "-O3", "-shared",
+            "-fPIC", "-march=native", str(_SRC), "-o", str(tmp_path),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp_path, so)  # atomic: concurrent builders race safely
+        return so
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(str(so))
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.trpx_walk.restype = ctypes.c_int
+        lib.trpx_walk.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, c_i32p, c_i64p, c_i64p,
+        ]
+        lib.trpx_encode_frames.restype = ctypes.c_int64
+        lib.trpx_encode_frames.argtypes = [
+            c_i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, c_u8p, ctypes.c_int64, c_i64p, c_i32p,
+        ]
+        lib.trpx_decode_frames.restype = ctypes.c_int
+        lib.trpx_decode_frames.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, c_i32p, c_i64p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, c_i64p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    """True if the native library compiled and loaded."""
+    return _load() is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _padded_payload(payload: bytes) -> np.ndarray:
+    buf = np.zeros(len(payload) + SLACK, dtype=np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    return buf
+
+
+def walk(payload: bytes, nframes: int, nvalues: int, block: int):
+    """Header walk for a whole archive (C speed).
+
+    Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit offsets,
+    fstarts (F+1,) int64 byte offsets). Raises ValueError on a malformed
+    stream.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nb = -(-nvalues // block)
+    buf = _padded_payload(payload)
+    widths = np.empty((nframes, nb), dtype=np.int32)
+    poffs = np.empty((nframes, nb), dtype=np.int64)
+    fstarts = np.empty(nframes + 1, dtype=np.int64)
+    rc = lib.trpx_walk(
+        _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
+        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        _ptr(fstarts, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("malformed TRPX payload: header walk ran past end")
+    return widths, poffs, fstarts
+
+
+def encode_frames(frames: np.ndarray, block: int, signed: bool):
+    """Encode (F, n) int64 frames -> (payload bytes, fstarts, prolix_bits).
+
+    Bit-identical to the reference encoder; any original dtype must be
+    widened to int64 by the caller (its two's-complement values).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    frames = np.ascontiguousarray(frames, dtype=np.int64)
+    F, n = frames.shape
+    nb = -(-n // block)
+    # worst case: 65-bit fields + 12-bit headers, per frame, + terminal bytes
+    per_frame = (65 * n + 12 * nb) // 8 + 2
+    cap = F * per_frame + SLACK
+    out = np.zeros(cap, dtype=np.uint8)
+    fstarts = np.empty(F + 1, dtype=np.int64)
+    prolix = np.zeros(1, dtype=np.int32)
+    total = lib.trpx_encode_frames(
+        _ptr(frames, ctypes.c_int64), F, n, block, int(signed),
+        _ptr(out, ctypes.c_uint8), cap, _ptr(fstarts, ctypes.c_int64),
+        _ptr(prolix, ctypes.c_int32),
+    )
+    if total < 0:
+        raise ValueError("unencodable frame (field width > 73 bits)")
+    return out[:total].tobytes(), fstarts, int(prolix[0])
+
+
+def decode_frames(
+    payload: bytes,
+    nframes: int,
+    nvalues: int,
+    block: int,
+    target_dtype,
+    stream_signed: bool = False,
+) -> np.ndarray:
+    """Decode all frames -> (F, n) of ``target_dtype`` with the reference's
+    extraction semantics (sign-extension into signed targets, clamping).
+    ``stream_signed`` only matters for float targets, which route through
+    int64/uint64 by the *stream*'s signedness (Terse.hpp:379-383)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    dtype = np.dtype(target_dtype)
+    widths, poffs, _ = walk(payload, nframes, nvalues, block)
+    buf = _padded_payload(payload)
+    out = np.empty((nframes, nvalues), dtype=np.int64)
+    if dtype.kind == "i":
+        signed, bits = 1, 8 * dtype.itemsize
+        info = np.iinfo(dtype)
+        cmin, cmax = int(info.min), int(info.max)
+    elif dtype.kind == "u":
+        signed, bits = 0, 8 * dtype.itemsize
+        cmin, cmax = 0, int(np.iinfo(dtype).max)
+    else:  # float target: int64/uint64 semantics, no clamp (Terse.hpp:379-383)
+        signed, bits, cmin, cmax = (1 if stream_signed else 0), 64, 0, 0
+    rc = lib.trpx_decode_frames(
+        _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
+        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        signed, bits, cmin, cmax, _ptr(out, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("malformed TRPX payload")
+    if dtype == np.uint64:
+        return out.view(np.uint64)
+    if dtype.kind == "f" and not stream_signed:
+        return out.view(np.uint64).astype(dtype)
+    return out.astype(dtype)

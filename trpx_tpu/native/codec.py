@@ -1,0 +1,67 @@
+"""Archive-level host codec on top of the native C++ runtime.
+
+Mirrors ``format.pycodec``'s encode/decode API at C speed. Used by the
+public API for 64-bit dtypes (outside the device path) and as the fast host
+fallback when no accelerator is present.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..format.header import TrpxMeta
+from ..format.pycodec import TrpxArchive
+from ..format.spec import DEFAULT_BLOCK
+from . import available, decode_frames, encode_frames
+
+
+def encode(
+    frames: np.ndarray,
+    block: int = DEFAULT_BLOCK,
+    dimensions: tuple[int, ...] = (),
+) -> TrpxArchive:
+    """Encode (F, n) integral frames (any width up to 64-bit)."""
+    frames = np.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    if frames.dtype.kind not in "iu":
+        raise TypeError(f"only integral dtypes are encodable, got {frames.dtype}")
+    signed = frames.dtype.kind == "i"
+    # int64 view keeps two's-complement patterns: uint64 values > 2^63-1
+    # become negative int64 with the same magnitude bits, and the C side
+    # treats unsigned streams via |v| = the raw pattern only when signed=0 —
+    # so widen unsigned via uint64 view to int64 bit pattern.
+    wide = frames.astype(np.uint64 if not signed else np.int64).view(np.int64)
+    payload, _, prolix = encode_frames(wide, block, signed)
+    meta = TrpxMeta(
+        prolix_bits=prolix,
+        signed=signed,
+        block=block,
+        memory_size=len(payload),
+        number_of_values=frames.shape[1],
+        dimensions=tuple(dimensions),
+        number_of_frames=frames.shape[0],
+    )
+    return TrpxArchive(meta=meta, payload=payload)
+
+
+def decode(archive: TrpxArchive, dtype) -> np.ndarray:
+    """Decode all frames -> (F, n) of ``dtype``."""
+    dtype = np.dtype(dtype)
+    meta = archive.meta
+    if meta.signed and dtype.kind == "u":
+        raise TypeError(
+            "signed streams must not be decoded into unsigned types "
+            "(Terse.hpp:356-357)"
+        )
+    return decode_frames(
+        archive.payload,
+        meta.number_of_frames,
+        meta.number_of_values,
+        meta.block,
+        dtype,
+        stream_signed=meta.signed,
+    )
+
+
+__all__ = ["encode", "decode", "available"]

@@ -1,0 +1,255 @@
+// TRPX host runtime: C++ implementation of the serial/host side of the codec.
+//
+// From-scratch implementation of the TRPX bitstream semantics (reference:
+// Terse.hpp:500-549 encode, :352-389 decode, Bit_pointer.hpp:597-792 field
+// extraction; see SURVEY.md §2.1) — NOT a copy of the reference: one flat
+// LSB-first word-carry writer/reader instead of the Bit_pointer abstraction,
+// absolute frame offsets (fixing reference bugs B1/B2), and correct 64-bit
+// magnitude handling (fixing B6).
+//
+// Exposed C ABI (driven from Python via ctypes, trpx_tpu/native/__init__.py):
+//   trpx_walk          — header walk: per-block width & payload bit offsets
+//                        + per-frame byte starts for a whole archive
+//   trpx_encode_frames — bit-identical encoder, any width <= 65
+//   trpx_decode_frames — decoder with reference extraction semantics
+//                        (sign-extension into signed targets, clamping)
+//
+// Build: g++ -O3 -std=c++20 -shared -fPIC (no external dependencies).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+// ----------------------------------------------------------- bit writer ---
+
+// LSB-first bit appender over a caller-provided byte buffer.
+struct BitWriter {
+    uint8_t* buf;
+    uint64_t pos;  // next free bit index
+
+    // append the low `nbits` (<= 57 safe via memcpy-64 path) of v
+    inline void put(uint64_t v, int nbits) {
+        if (nbits <= 0) return;
+        uint64_t byte = pos >> 3;
+        int shift = pos & 7;
+        // assemble into a 128-bit window so any nbits <= 64 + shift fits
+        unsigned __int128 window;
+        std::memcpy(&window, buf + byte, 16);
+        unsigned __int128 field = (unsigned __int128)(v & ((nbits >= 64)
+            ? ~0ULL : ((1ULL << nbits) - 1)));
+        window |= field << shift;
+        std::memcpy(buf + byte, &window, 16);
+        pos += nbits;
+    }
+
+    // append a field that can be up to 65 bits (value + explicit sign bit)
+    inline void put_wide(uint64_t lo, int nbits, int sign_bit) {
+        if (nbits <= 64) {
+            put(lo, nbits);
+        } else {
+            put(lo, 64);
+            put((uint64_t)sign_bit, nbits - 64);
+        }
+    }
+};
+
+// ----------------------------------------------------------- bit reader ---
+
+// NOTE: both reader and writer use unconditional 16-byte window memcpys;
+// callers (the ctypes wrapper) must provide buffers with >= 16 bytes of
+// accessible slack beyond the logical length.
+struct BitReader {
+    const uint8_t* buf;
+    uint64_t len;  // logical bytes (slack excluded)
+    uint64_t pos;  // bit index
+
+    inline uint64_t get(int nbits) {
+        if (nbits <= 0) return 0;
+        uint64_t byte = pos >> 3;
+        int shift = pos & 7;
+        unsigned __int128 window;
+        std::memcpy(&window, buf + byte, 16);
+        pos += nbits;
+        uint64_t mask = (nbits >= 64) ? ~0ULL : ((1ULL << nbits) - 1);
+        return (uint64_t)(window >> shift) & mask;
+    }
+};
+
+inline int highest_set_bit(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Walk the block headers of `nframes` frames (Terse.hpp:359-372 state
+// machine). Outputs, all caller-allocated:
+//   widths   [nframes * nblocks] int32  — payload field width per block
+//   poffs    [nframes * nblocks] int64  — ABSOLUTE payload bit offset
+//   fstarts  [nframes + 1]       int64  — byte offset of each frame
+//                                          (+ end of last frame)
+// Returns 0 on success, -1 if the walk ran past the payload.
+int trpx_walk(const uint8_t* payload, int64_t payload_len,
+              int64_t nframes, int64_t nvalues, int64_t block,
+              int32_t* widths, int64_t* poffs, int64_t* fstarts) {
+    int64_t nblocks = (nvalues + block - 1) / block;
+    BitReader r{payload, (uint64_t)payload_len, 0};
+    int64_t start_byte = 0;
+    for (int64_t f = 0; f < nframes; ++f) {
+        fstarts[f] = start_byte;
+        r.pos = (uint64_t)start_byte * 8;
+        int width = 0;  // persists across blocks within a frame
+        for (int64_t b = 0; b < nblocks; ++b) {
+            if ((r.pos >> 3) >= (uint64_t)payload_len) return -1;
+            if (r.get(1) == 0) {
+                width = (int)r.get(3);
+                if (width == 7) {
+                    width += (int)r.get(2);
+                    if (width == 10) width += (int)r.get(6);
+                }
+            }
+            int64_t idx = f * nblocks + b;
+            widths[idx] = width;
+            poffs[idx] = (int64_t)r.pos;
+            int64_t count = std::min(block, nvalues - b * block);
+            r.pos += (uint64_t)(width * count);
+        }
+        // next frame: byte after the terminal byte (Terse.hpp:547)
+        start_byte += 1 + (int64_t)((r.pos - (uint64_t)start_byte * 8) >> 3);
+        if (start_byte > payload_len) return -1;
+    }
+    fstarts[nframes] = start_byte;
+    return 0;
+}
+
+// Encode `nframes` frames of `nvalues` int64 values (any source dtype is
+// widened to int64 host-side; magnitudes beyond 2^63-1 are not produced by
+// any supported dtype except the int64 minimum, handled via its 2^63 bit
+// pattern). Bit-identical to the reference encoder (Terse.hpp:500-549).
+//
+//   values   [nframes * nvalues] int64 (two's complement)
+//   out      caller buffer, worst case nframes * (8*nvalues + ceil(nb*12/8) + 1)
+//   fstarts  [nframes + 1] int64 — byte offset of each frame in `out`
+// Returns total bytes written (>= 0), or -1 on unencodable width.
+int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
+                           int64_t nvalues, int64_t block, int is_signed,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* fstarts, int32_t* prolix_bits_out) {
+    int64_t nblocks = (nvalues + block - 1) / block;
+    BitWriter w{out, 0};
+    std::memset(out, 0, (size_t)out_cap);
+    int prolix = 0;
+    int64_t start_byte = 0;
+    for (int64_t f = 0; f < nframes; ++f) {
+        fstarts[f] = start_byte;
+        w.pos = (uint64_t)start_byte * 8;
+        const int64_t* frame = values + f * nvalues;
+        int prev = 0;  // reset per frame (Terse.hpp:505)
+        for (int64_t b = 0; b < nblocks; ++b) {
+            int64_t lo = b * block;
+            int64_t hi = std::min(nvalues, lo + block);
+            uint64_t setbits = 0;
+            if (is_signed) {
+                for (int64_t i = lo; i < hi; ++i) {
+                    int64_t v = frame[i];
+                    setbits |= (v < 0 ? -(uint64_t)v : (uint64_t)v);
+                }
+            } else {
+                // unsigned streams OR raw patterns (Terse.hpp:510-511);
+                // values arrive as int64 bit patterns of the uint64 data
+                for (int64_t i = lo; i < hi; ++i)
+                    setbits |= (uint64_t)frame[i];
+            }
+            int width = highest_set_bit(setbits);
+            if (is_signed && width) width += 1;  // sign bit (Terse.hpp:553)
+            if (width > 73) return -1;
+            prolix = std::max(prolix, width);
+            // block header (Terse.hpp:517-535)
+            if (width == prev) {
+                w.put(1, 1);
+            } else {
+                if (width < 7)       w.put((uint64_t)width << 1, 4);
+                else if (width < 10) w.put((uint64_t)(0b111 | ((width - 7) << 3)) << 1, 6);
+                else                 w.put((uint64_t)(0b11111 | ((width - 10) << 5)) << 1, 12);
+                prev = width;
+            }
+            if (width) {
+                for (int64_t i = lo; i < hi; ++i) {
+                    int64_t v = frame[i];
+                    w.put_wide((uint64_t)v, width, v < 0 ? 1 : 0);
+                }
+            }
+        }
+        start_byte += 1 + (int64_t)((w.pos - (uint64_t)start_byte * 8) >> 3);
+        if (start_byte > out_cap - 16) return -1;  // keep writer window safe
+    }
+    fstarts[nframes] = start_byte;
+    *prolix_bits_out = prolix;
+    return start_byte;
+}
+
+// Decode all frames into int64 (or uint64 bit patterns for unsigned
+// streams), given the walk tables. Extraction semantics per
+// Bit_pointer.hpp:597-617,742-792:
+//   * target_signed: sign-extend any field whose top bit is set (B4)
+//   * clamp to [clamp_min, clamp_max] when the field width exceeds
+//     target_bits (clamping disabled when target_bits >= 64)
+int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
+                       int64_t nframes, int64_t nvalues, int64_t block,
+                       const int32_t* widths, const int64_t* poffs,
+                       int target_signed, int target_bits,
+                       int64_t clamp_min, int64_t clamp_max,
+                       int64_t* out) {
+    int64_t nblocks = (nvalues + block - 1) / block;
+    BitReader r{payload, (uint64_t)payload_len, 0};
+    for (int64_t f = 0; f < nframes; ++f) {
+        int64_t* dst = out + f * nvalues;
+        for (int64_t b = 0; b < nblocks; ++b) {
+            int64_t idx = f * nblocks + b;
+            int width = widths[idx];
+            int64_t lo = b * block;
+            int64_t hi = std::min(nvalues, lo + block);
+            if (width == 0) {
+                std::memset(dst + lo, 0, (size_t)(hi - lo) * 8);
+                continue;
+            }
+            r.pos = (uint64_t)poffs[idx];
+            for (int64_t i = lo; i < hi; ++i) {
+                int w64 = width > 64 ? 64 : width;
+                uint64_t u = r.get(w64);
+                int sign_bit;
+                if (width > 64) {
+                    sign_bit = (int)r.get(width - 64);
+                } else {
+                    sign_bit = (int)((u >> (width - 1)) & 1);
+                }
+                int64_t v;
+                if (target_signed && sign_bit) {
+                    // w-bit two's complement (width >= 65: low 64 bits are
+                    // already the exact int64 pattern)
+                    v = (width >= 64) ? (int64_t)u
+                        : (int64_t)(u | (~0ULL << width));
+                } else {
+                    v = (int64_t)u;
+                }
+                if (target_bits < 64 && width > target_bits) {
+                    if (target_signed || width < 64) {
+                        v = std::min(std::max(v, clamp_min), clamp_max);
+                    } else {
+                        // unsigned 64-bit compare for u64 targets
+                        uint64_t uv = (uint64_t)v;
+                        uint64_t umax = (uint64_t)clamp_max;
+                        v = (int64_t)(uv > umax ? umax : uv);
+                    }
+                }
+                dst[i] = v;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

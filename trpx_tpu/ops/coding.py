@@ -316,28 +316,64 @@ def decode_batch_device(spec: FrameSpec, words, widths, poffs):
     )
 
 
+def walk_archive(
+    archive: TrpxArchive, spec: FrameSpec, pad_frames_to: int | None = None
+):
+    """Serial decode prepass for a whole archive: per-block width tables,
+    frame-relative payload bit offsets, and per-frame uint32 word buffers.
+
+    Uses the native C++ walker when available (trpx_tpu/native), falling
+    back to the pure-Python walk. Returns (widths (F', nb) int32,
+    poffs (F', nb) int32, words (F', n_words) uint32) where F' is F padded
+    up to ``pad_frames_to`` with zero rows.
+    """
+    meta = archive.meta
+    F, nb = meta.number_of_frames, spec.nb
+    Fp = pad_frames_to if pad_frames_to is not None else F
+    payload = archive.payload
+    widths = np.zeros((Fp, nb), dtype=np.int32)
+    poffs = np.zeros((Fp, nb), dtype=np.int32)
+    words = np.zeros((Fp, spec.n_words), dtype=np.uint32)
+    try:
+        from .. import native
+
+        have_native = native.available()
+    except Exception:
+        have_native = False
+    if have_native:
+        from .. import native
+
+        w, o, fstarts = native.walk(payload, F, meta.number_of_values,
+                                    meta.block)
+        widths[:F] = w
+        poffs[:F] = o - fstarts[:F, None] * 8
+        starts, ends = fstarts[:-1], fstarts[1:]
+    else:
+        starts = np.zeros(F, dtype=np.int64)
+        ends = np.zeros(F, dtype=np.int64)
+        pos = 0
+        for f in range(F):
+            w, o, nxt = walk_frame(payload, pos, meta.number_of_values,
+                                   meta.block)
+            widths[f] = w
+            poffs[f] = o - pos * 8
+            starts[f], ends[f] = pos, nxt
+            pos = nxt
+    byte_view = words.view(np.uint8).reshape(Fp, -1)
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    for f in range(F):
+        chunk = raw[starts[f] : ends[f]]
+        byte_view[f, : len(chunk)] = chunk
+    return widths, poffs, words
+
+
 def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     """Host wrapper: header walk (serial, host) + parallel device unpack.
     Returns (F, n) array of ``dtype``."""
     dtype = np.dtype(dtype)
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
-    F, nb = meta.number_of_frames, spec.nb
-    widths = np.zeros((F, nb), dtype=np.int32)
-    poffs = np.zeros((F, nb), dtype=np.int32)
-    words = np.zeros((F, spec.n_words), dtype=np.uint32)
-    pos = 0
-    payload = archive.payload
-    for f in range(F):
-        w, o, nxt = walk_frame(payload, pos, meta.number_of_values, meta.block)
-        widths[f] = w
-        poffs[f] = o - pos * 8  # offsets relative to this frame's first byte
-        chunk = payload[pos:nxt]
-        arr = np.frombuffer(chunk, dtype=np.uint8)
-        wbuf = np.zeros(spec.n_words * 4, dtype=np.uint8)
-        wbuf[: len(arr)] = arr
-        words[f] = wbuf.view(np.uint32)
-        pos = nxt
+    widths, poffs, words = walk_archive(archive, spec)
     vals = np.asarray(
         jax.device_get(decode_batch_device(spec, words, widths, poffs))
     )[:, : meta.number_of_values]

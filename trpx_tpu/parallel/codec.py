@@ -39,12 +39,13 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format.header import TrpxMeta
-from ..format.pycodec import TrpxArchive, walk_frame
+from ..format.pycodec import TrpxArchive
 from ..format.spec import DEFAULT_BLOCK, frame_nbytes
 from ..ops.coding import (
     FrameSpec,
     decode_frame_device,
     encode_frame_device,
+    walk_archive,
 )
 
 AXIS = "frames"
@@ -165,23 +166,11 @@ class ShardedCodec:
         """Mesh-parallel decode -> (F, n) array of ``dtype``."""
         dtype = np.dtype(dtype)
         meta = archive.meta
-        F, nb = meta.number_of_frames, self.spec.nb
+        F = meta.number_of_frames
         Fp = -(-F // self.ndev) * self.ndev
-        widths = np.zeros((Fp, nb), dtype=np.int32)
-        poffs = np.zeros((Fp, nb), dtype=np.int32)
-        words = np.zeros((Fp, self.spec.n_words), dtype=np.uint32)
-        payload = archive.payload
-        pos = 0
-        for f in range(F):  # serial header walk (SURVEY §7 hard part 3)
-            w, o, nxt = walk_frame(payload, pos, meta.number_of_values,
-                                   meta.block)
-            widths[f] = w
-            poffs[f] = o - pos * 8
-            chunk = np.frombuffer(payload[pos:nxt], dtype=np.uint8)
-            wbuf = np.zeros(self.spec.n_words * 4, dtype=np.uint8)
-            wbuf[: len(chunk)] = chunk
-            words[f] = wbuf.view(np.uint32)
-            pos = nxt
+        # serial header walk (SURVEY §7 hard part 3) — native C++ when built
+        widths, poffs, words = walk_archive(archive, self.spec,
+                                            pad_frames_to=Fp)
         vals = jax.device_get(
             _decode_sharded_jit(
                 self.spec,
