@@ -35,7 +35,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format.header import TrpxMeta
@@ -71,26 +71,23 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
             lambda f: encode_frame_device(spec, f)
         )(frames_local)
         nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
-        # the one collective: all-gather the per-frame size table
+        # the one collective: all-gather the per-frame size table; every
+        # device then holds the replicated global table, from which the
+        # absolute byte offset of every frame follows by exclusive cumsum
         sizes = jax.lax.all_gather(nbytes_local, AXIS)  # (ndev, F_local)
         flat = sizes.reshape(-1)  # frame order == shard order (contiguous)
         ends = jnp.cumsum(flat)
         offsets = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
         total = ends[-1]
-        me = jax.lax.axis_index(AXIS)
-        f_local = frames_local.shape[0]
-        my_offsets = jax.lax.dynamic_slice_in_dim(
-            offsets, me * f_local, f_local
-        )
         prolix = jax.lax.pmax(jnp.max(maxw), AXIS)
-        return words, nbytes_local, my_offsets, total, prolix
+        return words, flat, offsets, total, prolix
 
     return shard_map(
         local_encode,
         mesh=mesh,
         in_specs=P(AXIS, None),
-        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P()),
-        check_rep=False,
+        out_specs=(P(AXIS, None), P(), P(), P(), P()),
+        check_vma=False,
     )(frames)
 
 
@@ -130,6 +127,58 @@ class ShardedCodec:
         )
         return self.assemble(
             words[:F], nbytes[:F], offsets[:F], int(prolix), F, dimensions
+        )
+
+    def encode_shards(self, frames_local: np.ndarray, n_frames: int):
+        """Multi-host encode step: each process feeds its LOCAL frames and
+        gets back its local words plus the replicated global size/offset
+        tables (see parallel/distributed.py for the file-writing side).
+
+        ``frames_local``: this process's (F_local, n) slice, in global frame
+        order; every process must pass the same F_local (pad the tail host
+        with zero frames so F_global = F_local * num_processes).
+        ``n_frames``: the real global frame count (un-padded).
+        """
+        from .distributed import ShardResult
+
+        F_local, n = frames_local.shape
+        if n != self.spec.n:
+            raise ValueError(f"frames have {n} values, spec says {self.spec.n}")
+        try:
+            pid, nproc = jax.process_index(), jax.process_count()
+        except Exception:
+            pid, nproc = 0, 1
+        padded = np.zeros((F_local, self.spec.n_padded), frames_local.dtype)
+        padded[:, : self.spec.n] = frames_local
+        # globally the batch is (F_local * nproc, n_padded), frame-sharded;
+        # each process contributes its addressable slice
+        global_shape = (F_local * nproc, self.spec.n_padded)
+        sharding = NamedSharding(self.mesh, P(AXIS, None))
+        ndev_local = max(1, self.ndev // nproc)
+        per_dev = -(-F_local // ndev_local)
+        arrs = [
+            jax.device_put(padded[i * per_dev : (i + 1) * per_dev], d)
+            for i, d in enumerate(self.mesh.local_devices)
+        ]
+        x = jax.make_array_from_single_device_arrays(
+            global_shape, sharding, arrs
+        )
+        words, nbytes, offsets, total, prolix = _encode_sharded_jit(
+            self.spec, self.mesh, x
+        )
+        # local words: addressable shards in global frame order
+        shards = sorted(
+            words.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        words_local = np.concatenate([np.asarray(s.data) for s in shards])
+        return ShardResult(
+            frame_lo=pid * F_local,
+            frame_hi=(pid + 1) * F_local,
+            words=words_local,
+            nbytes=np.asarray(jax.device_get(nbytes)),
+            offsets=np.asarray(jax.device_get(offsets)),
+            total_bytes=int(jax.device_get(total)),
+            prolix_bits=int(jax.device_get(prolix)),
         )
 
     def assemble(
@@ -197,7 +246,7 @@ def _decode_sharded_jit(spec, mesh, words, widths, poffs):
         mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
         out_specs=P(AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )(words, widths, poffs)
 
 

@@ -1,0 +1,153 @@
+"""Multi-host runtime: jax.distributed init + per-host shard file writing.
+
+The reference has no distributed anything (SURVEY §2); this is the
+BASELINE north-star layer: N hosts × M chips encode disjoint frame ranges,
+the per-frame size table is all-gathered on device (parallel/codec.py), and
+because every process ends up with the *replicated* offset/total tables,
+each host can independently ``pwrite`` its frames' compressed bytes into the
+shared output file at their absolute offsets — no host↔host data movement,
+byte-identical result to the single-process encoder.
+
+Elastic recovery follows from statelessness: a failed host's frame range is
+simply re-encoded (encode has no cross-frame state except the prolix-bits
+max, which is a replicated reduction) — see runtime/stream.py for the
+frame-manifest resume logic.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..format.header import TrpxMeta, emit_header
+from ..format.pycodec import TrpxArchive
+from ..ops.coding import FrameSpec
+
+
+def init_from_env() -> bool:
+    """Initialize jax.distributed from standard env vars if present.
+
+    Returns True if a multi-process runtime was initialized. Controller
+    address/process count/process id come from JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID (or the cloud-TPU auto-detection).
+    """
+    import jax
+
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if coord and nproc and pid:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+        return True
+    return False
+
+
+@dataclass
+class ShardResult:
+    """One process's share of a sharded encode, plus replicated tables."""
+
+    frame_lo: int              # first global frame index owned by this host
+    frame_hi: int              # one past the last
+    words: np.ndarray          # (frame_hi-frame_lo, n_words) uint32
+    nbytes: np.ndarray         # (F_global,) replicated per-frame byte counts
+    offsets: np.ndarray        # (F_global,) replicated absolute byte offsets
+    total_bytes: int           # replicated payload size
+    prolix_bits: int           # replicated width max
+
+
+def meta_for(
+    spec: FrameSpec,
+    n_frames: int,
+    total_bytes: int,
+    prolix_bits: int,
+    dimensions: tuple[int, ...] = (),
+) -> TrpxMeta:
+    return TrpxMeta(
+        prolix_bits=prolix_bits,
+        signed=spec.signed,
+        block=spec.block,
+        memory_size=total_bytes,
+        number_of_values=spec.n,
+        dimensions=tuple(dimensions),
+        number_of_frames=n_frames,
+    )
+
+
+def write_shard_file(
+    path,
+    result: ShardResult,
+    spec: FrameSpec,
+    n_frames: int,
+    dimensions: tuple[int, ...] = (),
+    is_coordinator: bool | None = None,
+) -> None:
+    """Write this host's frames into the shared ``.trpx`` file at their
+    absolute offsets (coordinator also writes the header).
+
+    All hosts compute the identical header from the replicated tables, so
+    the header length — and hence every payload offset — agrees everywhere.
+    The file must live on a shared filesystem (or be a local file in
+    single-host runs).
+    """
+    total = _real_total(result, n_frames)
+    meta = meta_for(spec, n_frames, total, result.prolix_bits, dimensions)
+    header = emit_header(meta)
+    if is_coordinator is None:
+        try:
+            import jax
+
+            is_coordinator = jax.process_index() == 0
+        except Exception:
+            is_coordinator = True
+    size = len(header) + total
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        os.truncate(fd, size)
+        if is_coordinator:
+            os.pwrite(fd, header, 0)
+        words = np.ascontiguousarray(result.words)
+        byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
+        for i, f in enumerate(range(result.frame_lo,
+                                    min(result.frame_hi, n_frames))):
+            nb = int(result.nbytes[f])
+            os.pwrite(
+                fd,
+                byte_view[i, :nb].tobytes(),
+                len(header) + int(result.offsets[f]),
+            )
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def local_archive(
+    result: ShardResult,
+    spec: FrameSpec,
+    n_frames: int,
+    dimensions: tuple[int, ...] = (),
+) -> TrpxArchive:
+    """Assemble a full in-memory archive from a single-host ShardResult
+    (requires the process to own all frames)."""
+    if not (result.frame_lo == 0 and result.frame_hi >= n_frames):
+        raise ValueError("local_archive needs every frame on this host")
+    total = _real_total(result, n_frames)
+    payload = np.zeros(total, dtype=np.uint8)
+    words = np.ascontiguousarray(result.words)
+    byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
+    for f in range(n_frames):
+        off, nb = int(result.offsets[f]), int(result.nbytes[f])
+        payload[off : off + nb] = byte_view[f, :nb]
+    meta = meta_for(spec, n_frames, total, result.prolix_bits, dimensions)
+    return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()))
+
+
+def _real_total(result: ShardResult, n_frames: int) -> int:
+    """Payload size of the REAL frames only — mesh-padding zero frames at
+    the tail are excluded so the archive matches the reference byte count."""
+    return int(result.offsets[n_frames - 1] + result.nbytes[n_frames - 1])

@@ -1,0 +1,216 @@
+"""Streaming encode of arbitrarily long movie stacks, with resume.
+
+The reference holds whole files in memory and its append path is O(N²)
+(bug P1, Terse.hpp:503,547-548 — 500-frame append collapses to 39 frames/s).
+Here frames stream through the device in fixed-size chunks; compressed
+bytes append to a ``.part`` file; a JSON manifest checkpoint makes any run
+resumable at chunk granularity (SURVEY §5 checkpoint/resume: encode is
+stateless per frame, so recovery = re-enqueue unfinished frame ranges —
+the only cross-frame state, the running ``prolix_bits`` max, lives in the
+manifest).
+
+Finalize writes ``header + payload`` to the real path, verifies (optional),
+then removes the temporaries — write-then-verify-then-delete rather than
+the reference's delete-on-success-of-open (terse.cpp:81-82).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..format.header import TrpxMeta, emit_header
+from ..format.spec import DEFAULT_BLOCK, frame_nbytes
+from ..ops.coding import FrameSpec
+
+
+@dataclass
+class _Manifest:
+    dtype: str
+    nvalues: int
+    block: int
+    signed: bool
+    dimensions: list
+    frames_done: int
+    payload_bytes: int
+    prolix_bits: int
+
+    @classmethod
+    def load(cls, path: Path) -> "_Manifest":
+        return cls(**json.loads(path.read_text()))
+
+    def save(self, path: Path) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.__dict__))
+        os.replace(tmp, path)
+
+
+class StreamingEncoder:
+    """Chunked device encode -> append-only payload file + manifest.
+
+    Usage::
+
+        enc = StreamingEncoder("movie.trpx", nvalues=512*512,
+                               dtype=np.uint16, dimensions=(512, 512))
+        for chunk in chunks:          # (F_chunk, nvalues) arrays
+            enc.add_frames(chunk)
+        enc.finalize()
+
+    If the process dies, reconstructing the encoder on the same path
+    resumes after the last checkpointed chunk (``frames_done`` tells the
+    caller where to restart its input iteration).
+    """
+
+    def __init__(
+        self,
+        path,
+        nvalues: int,
+        dtype,
+        block: int = DEFAULT_BLOCK,
+        dimensions: tuple[int, ...] = (),
+        sync_every_chunk: bool = True,
+    ) -> None:
+        self.path = Path(path)
+        self.part = self.path.with_name(self.path.name + ".part")
+        self.manifest_path = self.path.with_name(self.path.name + ".manifest")
+        self.dtype = np.dtype(dtype)
+        self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block)
+        self.sync_every_chunk = sync_every_chunk
+        if self.manifest_path.exists():
+            m = _Manifest.load(self.manifest_path)
+            if (m.dtype, m.nvalues, m.block) != (self.dtype.str, nvalues,
+                                                 block):
+                raise ValueError(
+                    "existing manifest does not match this configuration"
+                )
+            self.m = m
+            # truncate a possibly torn tail back to the checkpoint
+            with open(self.part, "ab") as f:
+                f.truncate(m.payload_bytes)
+        else:
+            self.m = _Manifest(
+                dtype=self.dtype.str,
+                nvalues=nvalues,
+                block=block,
+                signed=self.dtype.kind == "i",
+                dimensions=list(dimensions),
+                frames_done=0,
+                payload_bytes=0,
+                prolix_bits=0,
+            )
+            with open(self.part, "wb"):
+                pass
+            self.m.save(self.manifest_path)
+
+    @property
+    def frames_done(self) -> int:
+        return self.m.frames_done
+
+    def add_frames(self, frames: np.ndarray) -> None:
+        """Encode one chunk of (F, nvalues) frames and append the payload."""
+        import jax
+
+        from ..ops.coding import encode_batch_device
+
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames.reshape(frames.shape[0], -1)
+        F, n = frames.shape
+        if n != self.spec.n or frames.dtype != self.dtype:
+            raise ValueError("chunk shape/dtype does not match the stream")
+        padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
+        padded[:, : self.spec.n] = frames
+        words, bits, maxw = jax.device_get(
+            encode_batch_device(self.spec, padded)
+        )
+        words = np.ascontiguousarray(words)
+        byte_view = words.view(np.uint8).reshape(F, -1)
+        with open(self.part, "r+b") as f:
+            f.seek(self.m.payload_bytes)
+            for fr in range(F):
+                nb = frame_nbytes(int(bits[fr]))
+                f.write(byte_view[fr, :nb].tobytes())
+                self.m.payload_bytes += nb
+            if self.sync_every_chunk:
+                f.flush()
+                os.fsync(f.fileno())
+        self.m.frames_done += F
+        self.m.prolix_bits = max(self.m.prolix_bits, int(np.max(maxw)))
+        self.m.save(self.manifest_path)
+
+    def meta(self) -> TrpxMeta:
+        return TrpxMeta(
+            prolix_bits=self.m.prolix_bits,
+            signed=self.m.signed,
+            block=self.m.block,
+            memory_size=self.m.payload_bytes,
+            number_of_values=self.m.nvalues,
+            dimensions=tuple(self.m.dimensions),
+            number_of_frames=self.m.frames_done,
+        )
+
+    def finalize(self, verify: bool = False) -> Path:
+        """Assemble header + payload into ``path``; optionally verify by
+        re-walking every frame header; then drop the temporaries."""
+        header = emit_header(self.meta())
+        tmp = self.path.with_name(self.path.name + ".tmp")
+        with open(tmp, "wb") as out, open(self.part, "rb") as part:
+            out.write(header)
+            while True:
+                buf = part.read(1 << 22)
+                if not buf:
+                    break
+                out.write(buf)
+            out.flush()
+            os.fsync(out.fileno())
+        if verify:
+            from ..format.pycodec import TrpxArchive
+            from ..io.trpx import read_trpx
+
+            arch = read_trpx(tmp)
+            assert isinstance(arch, TrpxArchive)
+            from ..ops.coding import walk_archive
+
+            walk_archive(arch, self.spec)  # raises on malformed stream
+        os.replace(tmp, self.path)
+        self.part.unlink(missing_ok=True)
+        self.manifest_path.unlink(missing_ok=True)
+        return self.path
+
+
+def iter_decode(archive, dtype, chunk_frames: int = 256):
+    """Stream-decode an archive in chunks: yields (F_chunk, n) arrays.
+
+    Bounds peak memory to one chunk of frames regardless of stack length.
+    """
+    from ..format.pycodec import TrpxArchive
+    from ..ops.coding import decode_batch_device, walk_archive
+
+    import jax
+
+    if not isinstance(archive, TrpxArchive):
+        from ..io.trpx import read_trpx
+
+        archive = read_trpx(archive)
+    dtype = np.dtype(dtype)
+    meta = archive.meta
+    spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
+    widths, poffs, words = walk_archive(archive, spec)
+    F = meta.number_of_frames
+    for lo in range(0, F, chunk_frames):
+        hi = min(F, lo + chunk_frames)
+        vals = np.asarray(
+            jax.device_get(
+                decode_batch_device(
+                    spec, words[lo:hi], widths[lo:hi], poffs[lo:hi]
+                )
+            )
+        )[:, : meta.number_of_values]
+        if dtype == np.uint32:
+            yield vals.view(np.uint32)
+        else:
+            yield vals.astype(dtype)
