@@ -5,10 +5,9 @@ Design (TPU-first, not a translation of the C++ serial bit loop):
 Encode (per frame, all static shapes, runs under ``jit``/``vmap``):
   1. per-block OR-reduce of magnitudes -> significant-bit widths (VPU)
   2. header bits/values from ``width != prev`` (elementwise)
-  3. exclusive prefix sum of block bit lengths -> absolute bit offsets
-  4. every field (header or value) becomes <=3 uint32 word contributions
-     (shift/mask); contributions to one word never share bit positions, so
-     ADD == OR and the pack is three *sorted* segment-sums (XLA scatter-add)
+  3. scatter-free ragged bit-concat of the per-block strings via the
+     merge-tree pack (ops/pack.py) — pure elementwise/slice work; XLA
+     scatter is avoided entirely (it serializes on TPU)
 
 Decode: given per-block widths + payload offsets (from the host header walk,
 or from the encoder's own plan), every value is an independent gather of two
@@ -98,11 +97,6 @@ def _mask_for(width):
     return jnp.where(width >= 32, jnp.uint32(0xFFFFFFFF), m)
 
 
-def _shr_into_next_word(x, s):
-    """x >> (32 - s) with well-defined result 0 at s == 0 (uint32)."""
-    s = s.astype(_U32)
-    return (x >> (_U32(31) - s)) >> _U32(1)
-
 
 def plan_frame(spec: FrameSpec, frame: jax.Array):
     """Per-block width/header/offset tables for one frame.
@@ -155,51 +149,37 @@ def plan_frame(spec: FrameSpec, frame: jax.Array):
     )
 
 
-def _scatter_parts(lo, hi, off, n_words):
-    """Pack fields (lo:hi 64-bit value, already masked to field width) at bit
-    offsets ``off`` into a uint32 word array. Bit-disjointness makes ADD==OR,
-    and each of the three part streams has monotonic word indices."""
-    s = (off & 31).astype(_U32)
-    w0 = off >> 5
-    p0 = lo << s
-    p1 = _shr_into_next_word(lo, s) | jnp.where(s == 0, hi, hi << s)
-    p2 = _shr_into_next_word(hi, s)
-    words = jnp.zeros((n_words,), _U32)
-    for part, idx in ((p0, w0), (p1, w0 + 1), (p2, w0 + 2)):
-        words = words + jax.ops.segment_sum(
-            part, idx, num_segments=n_words, indices_are_sorted=True
-        )
-    return words
-
-
 def encode_frame_device(spec: FrameSpec, frame: jax.Array):
     """Encode one padded frame -> (words uint32[n_words], total_bits, max_width).
 
     ``frame``: (n_padded,) of the input dtype (padding values must be 0).
+
+    The bitstream is assembled with the scatter-free merge-tree pack
+    (ops/pack.py) — XLA scatter serializes on TPU, the tree is pure
+    elementwise/slice work.
     """
+    from .pack import pack_frame
+
     B, nb = spec.block, spec.nb
     plan = plan_frame(spec, frame)
-    width, hb, hv, starts = plan["width"], plan["hb"], plan["hv"], plan["starts"]
+    width, hb, hv = plan["width"], plan["hb"], plan["hv"]
 
     v = frame.astype(_I32).reshape(nb, B)
     u = jax.lax.bitcast_convert_type(v, _U32)
     w2 = width[:, None]
     lo = u & _mask_for(w2)
     # the only >32-bit field is int32's width-33 (sign bit is bit 32)
-    hi = ((v < 0) & (w2 == 33)).astype(_U32) if spec.max_width > 32 else jnp.zeros_like(u)
-
-    j = jnp.arange(B, dtype=_I32)[None, :]
-    voff = (starts + hb)[:, None] + j * w2
-    # lanes beyond the real frame length contribute nothing
-    gi = jnp.arange(nb, dtype=_I32)[:, None] * B + j
-    valid = gi < spec.n
-    lo = jnp.where(valid, lo, _U32(0))
-    hi = jnp.where(valid, hi, _U32(0))
-
-    words = _scatter_parts(lo.reshape(-1), hi.reshape(-1), voff.reshape(-1),
-                           spec.n_words)
-    words = words + _scatter_parts(hv, jnp.zeros_like(hv), starts, spec.n_words)
-    return words, plan["total_bits"], jnp.max(width)
+    hi = (
+        ((v < 0) & (w2 == 33)).astype(_U32)
+        if spec.max_width > 32
+        else None
+    )
+    max_block_bits = 12 + spec.block * spec.max_width
+    words, total_bits = pack_frame(
+        lo, width, hb, hv.astype(_U32), plan["counts"],
+        max_block_bits, out_words=spec.n_words, values_hi=hi,
+    )
+    return words, total_bits, jnp.max(width)
 
 
 @functools.partial(jax.jit, static_argnums=0)

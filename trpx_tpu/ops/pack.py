@@ -1,0 +1,203 @@
+"""Scatter-free ragged bit-concat: the TPU-native packing primitive.
+
+The TRPX bitstream is a concatenation of ~21k variable-length per-block
+bit strings per frame (header + packed values, SURVEY §2.1). A direct
+scatter of every field (XLA ``segment_sum``) serializes on TPU (~10^8
+scatter-elements/s measured — slower than the reference's single CPU
+core). This module instead builds the stream with a **binary merge tree**:
+
+  level 0: every block is a fixed-capacity word row ``(P, C0)`` holding its
+           header+payload bits starting at bit 0, plus its bit length;
+  level L: pairs of rows are concatenated — ``R = A | (B << len(A))`` —
+           where ``<< len(A)`` decomposes into a *word* rotation (binary
+           lifting over the bits of ``len(A) >> 5``, each step a static
+           pad-and-slice select) and a *bit* funnel shift (elementwise);
+  after log2(P) levels one row holds the whole frame bitstream.
+
+Everything is static-shaped, elementwise, and fusible — no scatter, no
+gather, no data-dependent control flow. Work is O(P * C0 * log P) word ops
+per frame, independent of the data.
+
+Capacities are exact powers of two: a level-L row holds up to
+``C0 * 2**L`` words and a string of at most ``C0 * 2**L * 32 - 31`` bits,
+which dominates the worst case ``2**L * max_block_bits`` provided
+``C0 * 32 >= max_block_bits + 31``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def row_capacity(max_block_bits: int) -> int:
+    """Smallest power-of-two word capacity for one block's staged row."""
+    c = -(-(max_block_bits + 31) // 32)
+    p = 1
+    while p < c:
+        p *= 2
+    return p
+
+
+def _funnel_up(rows: jax.Array, s: jax.Array) -> jax.Array:
+    """Shift each row's bitstring towards higher bit positions by
+    ``s in [0, 32)`` bits (LSB-first streams: bit p lives at word p>>5,
+    bit p&31). rows: (P, C) uint32; s: (P,) uint32."""
+    s = s[:, None].astype(_U32)
+    prev = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 1), _U32), rows[:, :-1]], axis=1
+    )
+    # (prev >> (32 - s)) with a well-defined 0 at s == 0
+    carry = (prev >> (_U32(31) - s)) >> _U32(1)
+    return (rows << s) | carry
+
+
+def _word_shift_up(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
+    """Shift each row by ``k`` whole words towards higher indices
+    (binary lifting: one static pad-and-slice per bit of ``k``)."""
+    P, C = rows.shape
+    step = 1
+    j = 0
+    while step <= max_shift and step < C:
+        bit = ((k >> j) & 1).astype(bool)[:, None]
+        shifted = jnp.concatenate(
+            [jnp.zeros((P, step), _U32), rows[:, :-step]], axis=1
+        )
+        rows = jnp.where(bit, shifted, rows)
+        step *= 2
+        j += 1
+    return rows
+
+
+def ragged_concat(rows: jax.Array, lengths: jax.Array):
+    """Concatenate P variable-length bitstrings (P a power of two).
+
+    rows:    (P, C0) uint32 — string ``p`` occupies bits [0, lengths[p])
+    lengths: (P,) int32
+
+    Returns (words (P*C0,) uint32, total_bits int32). Zero-length rows
+    concatenate as nothing, so callers pad P to a power of two with
+    all-zero rows of length 0.
+    """
+    P, C = rows.shape
+    if P & (P - 1):
+        raise ValueError("row count must be a power of two")
+    lengths = lengths.astype(_I32)
+    while P > 1:
+        A = rows[0::2]
+        B = rows[1::2]
+        la = lengths[0::2]
+        lb = lengths[1::2]
+        C2 = 2 * C
+        pad = jnp.zeros((P // 2, C), _U32)
+        A2 = jnp.concatenate([A, pad], axis=1)
+        B2 = jnp.concatenate([B, pad], axis=1)
+        # place B at bit offset la: word part then bit part
+        B2 = _word_shift_up(B2, (la >> 5).astype(_U32), max_shift=C)
+        B2 = _funnel_up(B2, (la & 31).astype(_U32))
+        rows = A2 | B2
+        lengths = la + lb
+        P //= 2
+        C = C2
+    return rows[0], lengths[0]
+
+
+def stage_blocks(
+    values_u32: jax.Array,
+    widths: jax.Array,
+    header_bits: jax.Array,
+    header_values: jax.Array,
+    counts: jax.Array,
+    cap_words: int,
+    values_hi: jax.Array | None = None,
+):
+    """Build the level-0 rows: one fixed-capacity word row per block.
+
+    values_u32:    (nb, B) uint32 — payload fields pre-masked to width
+                   (low 32 bits when the field is wider than 32)
+    widths:        (nb,) int32 field width per block
+    header_bits:   (nb,) int32 1/4/6/12
+    header_values: (nb,) uint32 LSB-first header bit pattern
+    counts:        (nb,) int32 real values in the block (partial tail)
+    cap_words:     static row capacity (power of two)
+    values_hi:     optional (nb, B) uint32 — field bits 32.. (the int32
+                   sign bit of width-33 fields)
+
+    Returns (rows (nb, cap_words) uint32, lengths (nb,) int32).
+
+    Placement is scatter-free: for each target word ``i`` (static loop over
+    cap_words) every value contributes via masked shifts (its low part if
+    it starts in word i, its carry parts if it started in earlier words).
+    """
+    nb, B = values_u32.shape
+    w = widths[:, None].astype(_I32)                      # (nb, 1)
+    off = header_bits[:, None] + jnp.arange(B, dtype=_I32)[None, :] * w
+    valid = jnp.arange(B, dtype=_I32)[None, :] < counts[:, None]
+    v = jnp.where(valid & (w > 0), values_u32, _U32(0))
+    word_idx = off >> 5                                   # (nb, B)
+    bit_idx = (off & 31).astype(_U32)
+    lo = v << bit_idx
+    hi = (v >> (_U32(31) - bit_idx)) >> _U32(1)
+    if values_hi is not None:
+        vh = jnp.where(valid & (w > 32), values_hi, _U32(0))
+        hi = hi | (vh << bit_idx)       # bits 32.. land one word up
+        hi2 = (vh >> (_U32(31) - bit_idx)) >> _U32(1)
+    cols = []
+    for i in range(cap_words):
+        contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
+            word_idx == i - 1, hi, _U32(0)
+        )
+        if values_hi is not None:
+            contrib = contrib | jnp.where(word_idx == i - 2, hi2, _U32(0))
+        word = jnp.bitwise_or.reduce(contrib, axis=1)
+        if i == 0:
+            word = word | header_values.astype(_U32)
+        cols.append(word)
+    rows = jnp.stack(cols, axis=1)
+    lengths = (header_bits + widths * counts).astype(_I32)
+    return rows, lengths
+
+
+def pack_frame(
+    values_u32: jax.Array,
+    widths: jax.Array,
+    header_bits: jax.Array,
+    header_values: jax.Array,
+    counts: jax.Array,
+    max_block_bits: int,
+    out_words: int | None = None,
+    values_hi: jax.Array | None = None,
+):
+    """Full scatter-free pack of one frame: stage + merge tree.
+
+    Returns (words (out_words,) uint32, total_bits int32).
+    """
+    nb = values_u32.shape[0]
+    cap = row_capacity(max_block_bits)
+    rows, lengths = stage_blocks(
+        values_u32, widths, header_bits, header_values, counts, cap,
+        values_hi=values_hi,
+    )
+    P = 1
+    while P < nb:
+        P *= 2
+    if P != nb:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((P - nb, cap), _U32)], axis=0
+        )
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((P - nb,), _I32)]
+        )
+    words, total = ragged_concat(rows, lengths)
+    if out_words is not None:
+        if out_words <= words.shape[0]:
+            words = words[:out_words]
+        else:
+            words = jnp.concatenate(
+                [words, jnp.zeros((out_words - words.shape[0],), _U32)]
+            )
+    return words, total
