@@ -289,10 +289,52 @@ def decode_frame_device(
     return vals.reshape(-1)
 
 
+def decode_frame_tree(spec: FrameSpec, words: jax.Array, widths: jax.Array):
+    """Scatter/gather-free unpack of one frame via the split tree
+    (ops/unpack.py). ``words``: (n_words,) uint32 of this frame's stream;
+    ``widths``: (nb,) int32 from the header walk."""
+    from .pack import row_capacity
+    from .unpack import (
+        extract_values,
+        header_bits_from_widths,
+        split_stream,
+    )
+
+    nb, B = spec.nb, spec.block
+    widths = widths.astype(_I32)
+    hb = header_bits_from_widths(widths)
+    counts = jnp.clip(spec.n - jnp.arange(nb, dtype=_I32) * B, 0, B)
+    block_bits = hb + widths * counts
+    P = 1
+    while P < nb:
+        P *= 2
+    cap = row_capacity(12 + B * spec.max_width)
+    bb = jnp.concatenate([block_bits, jnp.zeros((P - nb,), _I32)])
+    need = P * cap
+    w = words[:need] if words.shape[0] >= need else jnp.concatenate(
+        [words, jnp.zeros((need - words.shape[0],), _U32)]
+    )
+    rows = split_stream(w, bb, cap)[:nb]
+    lo, _ = extract_values(rows, widths, hb, B)
+    w2 = widths[:, None]
+    u = lo & _mask_for(w2)
+    if spec.signed:
+        # sign-extend w-bit two's complement into the int32 lane; for
+        # w >= 32 the low 32 bits are already the exact int32 pattern
+        top = jnp.where(
+            w2 > 0, (u >> jnp.clip(w2 - 1, 0, 31).astype(_U32)) & _U32(1),
+            _U32(0),
+        )
+        ext = jnp.where((w2 < 32) & (top == 1), ~_mask_for(w2), _U32(0))
+        u = u | ext
+    return jax.lax.bitcast_convert_type(u, _I32).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def decode_batch_device(spec: FrameSpec, words, widths, poffs):
-    return jax.vmap(lambda w, wd, po: decode_frame_device(spec, w, wd, po))(
-        words, widths, poffs
+    del poffs  # offsets are implied by the width tables in the tree unpack
+    return jax.vmap(lambda w, wd: decode_frame_tree(spec, w, wd))(
+        words, widths
     )
 
 

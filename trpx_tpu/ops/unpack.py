@@ -1,0 +1,132 @@
+"""Scatter/gather-free ragged bit-split: the TPU-native unpacking primitive.
+
+Inverse of ops/pack.py's merge tree. Given one frame's bitstream (uint32
+words, LSB-first) and the per-block widths recovered by the host header
+walk, the per-block bit lengths are fully determined (the 1/4/6/12-bit
+header length follows from ``width[b] == width[b-1]`` — after every block
+the reference's ``prevbits`` equals that block's width, Terse.hpp:517-535).
+The stream is then split recursively:
+
+  level L: every node row splits into (A, B) where B = node >> len(A);
+           the variable down-shift is binary-lifted static word shifts
+           plus an elementwise bit funnel — no gather;
+  after log2(P) levels each block owns a fixed-capacity row with its
+  header+payload at bit 0; per-value extraction is a static masked-select
+  loop over the row's words.
+
+Work mirrors the pack: O(P * C0 * log P) elementwise word ops per frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .pack import row_capacity
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _funnel_down(rows: jax.Array, s: jax.Array) -> jax.Array:
+    """Shift each row's bitstring towards lower bit positions by
+    ``s in [0, 32)`` bits. rows: (P, C) uint32; s: (P,)."""
+    s = s[:, None].astype(_U32)
+    nxt = jnp.concatenate(
+        [rows[:, 1:], jnp.zeros((rows.shape[0], 1), _U32)], axis=1
+    )
+    # (nxt << (32 - s)) with a well-defined 0 at s == 0
+    carry = (nxt << (_U32(31) - s)) << _U32(1)
+    return (rows >> s) | carry
+
+
+def _word_shift_down(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
+    """Shift each row by ``k`` whole words towards lower indices."""
+    P, C = rows.shape
+    step = 1
+    j = 0
+    while step <= max_shift and step < C:
+        bit = ((k >> j) & 1).astype(bool)[:, None]
+        shifted = jnp.concatenate(
+            [rows[:, step:], jnp.zeros((P, step), _U32)], axis=1
+        )
+        rows = jnp.where(bit, shifted, rows)
+        step *= 2
+        j += 1
+    return rows
+
+
+def header_bits_from_widths(widths: jax.Array) -> jax.Array:
+    """Per-block header length from the width table (Terse.hpp:517-535)."""
+    w = widths.astype(_I32)
+    prev = jnp.concatenate([jnp.zeros((1,), _I32), w[:-1]])
+    return jnp.where(
+        w == prev, 1, jnp.where(w < 7, 4, jnp.where(w < 10, 6, 12))
+    ).astype(_I32)
+
+
+def split_stream(
+    words: jax.Array, block_bits: jax.Array, cap_words: int
+) -> jax.Array:
+    """Split one bitstream into P per-block rows (P = len(block_bits),
+    a power of two; zero-length tail blocks yield zero rows).
+
+    words:      (P * cap_words,) uint32 — the frame stream at bit 0
+    block_bits: (P,) int32 per-block bit lengths
+    Returns (P, cap_words) uint32 rows, block p's bits starting at bit 0.
+    """
+    P = block_bits.shape[0]
+    if P & (P - 1):
+        raise ValueError("block count must be a power of two")
+    C = P * cap_words
+    rows = words[None, :]
+    nodes = 1
+    while nodes < P:
+        half = P // (2 * nodes)                  # blocks per child
+        # left-child bit length of every current node
+        la = jnp.sum(
+            block_bits.reshape(2 * nodes, half), axis=1
+        ).astype(_I32)[0::2]
+        C2 = C // 2
+        A = rows[:, :C2]
+        B = _word_shift_down(rows, (la >> 5).astype(_U32), max_shift=C2)
+        B = _funnel_down(B, (la & 31).astype(_U32))[:, :C2]
+        rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
+        nodes *= 2
+        C = C2
+    return rows
+
+
+def extract_values(
+    rows: jax.Array,
+    widths: jax.Array,
+    header_bits: jax.Array,
+    block: int,
+    wide: bool = False,
+):
+    """Per-value field extraction from per-block rows.
+
+    rows: (nb, C0) uint32; widths/header_bits: (nb,) int32.
+    Returns (nb, block) uint32 fields (low 32 bits), plus the bit-32 plane
+    (nb, block) uint32 when ``wide`` (width-33 signed fields).
+    """
+    nb, C0 = rows.shape
+    w = widths[:, None].astype(_I32)
+    off = header_bits[:, None] + jnp.arange(block, dtype=_I32)[None, :] * w
+    word_idx = off >> 5                          # (nb, block) in [0, C0)
+    bit_idx = (off & 31).astype(_U32)
+    lo = jnp.zeros((nb, block), _U32)
+    hi = jnp.zeros((nb, block), _U32)
+    for i in range(C0):
+        cur = rows[:, i][:, None]
+        nxt = rows[:, i + 1][:, None] if i + 1 < C0 else jnp.zeros_like(cur)
+        nx2 = rows[:, i + 2][:, None] if i + 2 < C0 else jnp.zeros_like(cur)
+        sel = word_idx == i
+        win = (cur >> bit_idx) | ((nxt << (_U32(31) - bit_idx)) << _U32(1))
+        lo = jnp.where(sel, win, lo)
+        if wide:
+            win_hi = (nxt >> bit_idx) | (
+                (nx2 << (_U32(31) - bit_idx)) << _U32(1)
+            )
+            hi = jnp.where(sel, win_hi, hi)
+    return (lo, hi) if wide else (lo, None)
