@@ -73,11 +73,43 @@ def _word_shift_up(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
     return rows
 
 
-def ragged_concat(rows: jax.Array, lengths: jax.Array):
+#: below this row count the merge switches to unrolled per-row dynamic
+#: slices (one pass over the data) instead of the binary-lifting chain
+#: (log(C) passes) — a large win for the deep, few-rows levels
+_UNROLL_ROWS = 32
+
+
+def _merge_level_unrolled(A, B, la, max_la_bits: int):
+    """Deep-level merge: per-row dynamic word shift via lax.dynamic_slice
+    (unrolled over the <= _UNROLL_ROWS/2 rows), then the bit funnel."""
+    M, C = A.shape
+    C2 = 2 * C
+    pad = jnp.zeros((M, C), _U32)
+    A2 = jnp.concatenate([A, pad], axis=1)
+    out_rows = []
+    max_k = min(C, max_la_bits // 32 + 1)
+    for m in range(M):
+        # B row m shifted up by k words == slice a (C2,) window starting at
+        # (max_k - k) out of [zeros(max_k), B[m], zeros] — one dynamic slice
+        buf = jnp.concatenate(
+            [jnp.zeros((max_k,), _U32), B[m], jnp.zeros((C,), _U32)]
+        )
+        k = jnp.clip(la[m] >> 5, 0, max_k).astype(_I32)
+        row = jax.lax.dynamic_slice(buf, (max_k - k,), (C2,))
+        out_rows.append(row)
+    B2 = jnp.stack(out_rows)
+    B2 = _funnel_up(B2, (la & 31).astype(_U32))
+    return A2 | B2
+
+
+def ragged_concat(rows: jax.Array, lengths: jax.Array,
+                  max_string_bits: int | None = None):
     """Concatenate P variable-length bitstrings (P a power of two).
 
     rows:    (P, C0) uint32 — string ``p`` occupies bits [0, lengths[p])
     lengths: (P,) int32
+    max_string_bits: static upper bound on any level-0 string length
+                     (defaults to C0*32 - 31); bounds the lifting depth.
 
     Returns (words (P*C0,) uint32, total_bits int32). Zero-length rows
     concatenate as nothing, so callers pad P to a power of two with
@@ -86,23 +118,33 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array):
     P, C = rows.shape
     if P & (P - 1):
         raise ValueError("row count must be a power of two")
+    if max_string_bits is None:
+        max_string_bits = C * 32 - 31
     lengths = lengths.astype(_I32)
+    max_bits = max_string_bits  # max bits of one string at current level
     while P > 1:
         A = rows[0::2]
         B = rows[1::2]
         la = lengths[0::2]
         lb = lengths[1::2]
-        C2 = 2 * C
-        pad = jnp.zeros((P // 2, C), _U32)
-        A2 = jnp.concatenate([A, pad], axis=1)
-        B2 = jnp.concatenate([B, pad], axis=1)
-        # place B at bit offset la: word part then bit part
-        B2 = _word_shift_up(B2, (la >> 5).astype(_U32), max_shift=C)
-        B2 = _funnel_up(B2, (la & 31).astype(_U32))
-        rows = A2 | B2
+        if P <= _UNROLL_ROWS:
+            rows = _merge_level_unrolled(A, B, la, max_bits)
+        else:
+            C2 = 2 * C
+            pad = jnp.zeros((P // 2, C), _U32)
+            A2 = jnp.concatenate([A, pad], axis=1)
+            B2 = jnp.concatenate([B, pad], axis=1)
+            # place B at bit offset la: word part then bit part; the word
+            # shift can never exceed the level's maximum string length
+            B2 = _word_shift_up(
+                B2, (la >> 5).astype(_U32), max_shift=max_bits // 32 + 1
+            )
+            B2 = _funnel_up(B2, (la & 31).astype(_U32))
+            rows = A2 | B2
         lengths = la + lb
         P //= 2
-        C = C2
+        C = 2 * C
+        max_bits *= 2
     return rows[0], lengths[0]
 
 
@@ -192,7 +234,8 @@ def pack_frame(
         lengths = jnp.concatenate(
             [lengths, jnp.zeros((P - nb,), _I32)]
         )
-    words, total = ragged_concat(rows, lengths)
+    words, total = ragged_concat(rows, lengths,
+                                 max_string_bits=max_block_bits)
     if out_words is not None:
         if out_words <= words.shape[0]:
             words = words[:out_words]

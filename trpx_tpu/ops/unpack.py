@@ -65,8 +65,14 @@ def header_bits_from_widths(widths: jax.Array) -> jax.Array:
     ).astype(_I32)
 
 
+#: below this node count the split uses unrolled per-row dynamic slices
+#: (one pass) instead of the binary-lifting chain — mirrors pack.py
+_UNROLL_ROWS = 32
+
+
 def split_stream(
-    words: jax.Array, block_bits: jax.Array, cap_words: int
+    words: jax.Array, block_bits: jax.Array, cap_words: int,
+    max_block_bits: int | None = None,
 ) -> jax.Array:
     """Split one bitstream into P per-block rows (P = len(block_bits),
     a power of two; zero-length tail blocks yield zero rows).
@@ -78,6 +84,8 @@ def split_stream(
     P = block_bits.shape[0]
     if P & (P - 1):
         raise ValueError("block count must be a power of two")
+    if max_block_bits is None:
+        max_block_bits = cap_words * 32 - 31
     C = P * cap_words
     rows = words[None, :]
     nodes = 1
@@ -88,9 +96,23 @@ def split_stream(
             block_bits.reshape(2 * nodes, half), axis=1
         ).astype(_I32)[0::2]
         C2 = C // 2
+        max_la = half * max_block_bits           # static bound on la
         A = rows[:, :C2]
-        B = _word_shift_down(rows, (la >> 5).astype(_U32), max_shift=C2)
-        B = _funnel_down(B, (la & 31).astype(_U32))[:, :C2]
+        if nodes <= _UNROLL_ROWS // 2:
+            max_k = min(C, max_la // 32 + 1)
+            out = []
+            for m in range(rows.shape[0]):
+                buf = jnp.concatenate(
+                    [rows[m], jnp.zeros((max_k,), _U32)]
+                )
+                k = jnp.clip(la[m] >> 5, 0, max_k).astype(_I32)
+                out.append(jax.lax.dynamic_slice(buf, (k,), (C2,)))
+            B = jnp.stack(out)
+        else:
+            B = _word_shift_down(
+                rows, (la >> 5).astype(_U32), max_shift=max_la // 32 + 1
+            )[:, :C2]
+        B = _funnel_down(B, (la & 31).astype(_U32))
         rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
         nodes *= 2
         C = C2
