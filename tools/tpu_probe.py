@@ -26,14 +26,15 @@ def main():
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n = 512 * 512
-    spec = FrameSpec.for_dtype(n, np.uint16)
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=ratio)
     key = jax.random.PRNGKey(0)
     x = jax.random.poisson(key, 3.0, (F, spec.n_padded)).astype(jnp.uint16)
     x = jnp.where(jnp.arange(spec.n_padded)[None, :] < n, x, 0)
     jax.block_until_ready(x)
 
     def one(fr):
-        w, b, m = jax.vmap(lambda f: encode_frame_device(spec, f))(fr)
+        w, b, m, _ = jax.vmap(lambda f: encode_frame_device(spec, f))(fr)
         return w, b
 
     @jax.jit

@@ -51,12 +51,19 @@ _DEVICE_DTYPES = {
 
 @dataclass(frozen=True)
 class FrameSpec:
-    """Static (compile-time) description of one frame's encoding problem."""
+    """Static (compile-time) description of one frame's encoding problem.
+
+    ``cap_ratio < 1`` turns on the optimistic soft-capacity merge tree
+    (ops/pack.py): level buffers are sized for streams compressing to at
+    most that fraction of the worst case; overflow is detected on device
+    and callers transparently fall back to the ``cap_ratio=1.0`` kernel.
+    """
 
     n: int          # values per frame
     block: int      # values per block
     signed: bool
     max_width: int  # widest possible field for the dtype (incl. sign bit)
+    cap_ratio: float = 1.0
 
     @property
     def nb(self) -> int:
@@ -72,11 +79,44 @@ class FrameSpec:
 
     @property
     def n_words(self) -> int:
-        # +2 pad words so decode-side gathers of words[W+1] stay in bounds
+        # +2 pad words so decode-side reads of words[W+1] stay in bounds
         return -(-self.worst_bits // 32) + 2
 
+    @property
+    def max_block_bits(self) -> int:
+        return 12 + self.block * self.max_width
+
+    @property
+    def tree_rows(self) -> int:
+        p = 1
+        while p < self.nb:
+            p *= 2
+        return p
+
+    @property
+    def pack_caps(self) -> tuple[int, ...]:
+        from .pack import capacity_schedule, row_capacity
+
+        return tuple(
+            capacity_schedule(
+                self.tree_rows, row_capacity(self.max_block_bits),
+                self.max_block_bits, self.cap_ratio,
+            )
+        )
+
+    @property
+    def out_words(self) -> int:
+        """Words in the encode output buffer (soft-capped final row)."""
+        return min(self.n_words, self.pack_caps[-1] + 2)
+
+    def with_ratio(self, ratio: float) -> "FrameSpec":
+        from dataclasses import replace
+
+        return replace(self, cap_ratio=ratio)
+
     @classmethod
-    def for_dtype(cls, n: int, dtype, block: int = DEFAULT_BLOCK) -> "FrameSpec":
+    def for_dtype(cls, n: int, dtype, block: int = DEFAULT_BLOCK,
+                  cap_ratio: float = 1.0) -> "FrameSpec":
         dtype = np.dtype(dtype)
         if dtype not in _DEVICE_DTYPES:
             raise TypeError(
@@ -84,7 +124,8 @@ class FrameSpec:
                 "use the host codec for 64-bit data"
             )
         signed, max_width = _DEVICE_DTYPES[dtype]
-        spec = cls(n=n, block=block, signed=signed, max_width=max_width)
+        spec = cls(n=n, block=block, signed=signed, max_width=max_width,
+                   cap_ratio=cap_ratio)
         if spec.worst_bits >= 2**31:
             raise ValueError("frame too large for 32-bit bit offsets")
         return spec
@@ -150,9 +191,12 @@ def plan_frame(spec: FrameSpec, frame: jax.Array):
 
 
 def encode_frame_device(spec: FrameSpec, frame: jax.Array):
-    """Encode one padded frame -> (words uint32[n_words], total_bits, max_width).
+    """Encode one padded frame -> (words uint32[spec.out_words], total_bits,
+    max_width, overflowed).
 
     ``frame``: (n_padded,) of the input dtype (padding values must be 0).
+    ``overflowed`` is constant False for ``cap_ratio == 1.0``; otherwise
+    the caller must discard and re-encode with the full-capacity spec.
 
     The bitstream is assembled with the scatter-free merge-tree pack
     (ops/pack.py) — XLA scatter serializes on TPU, the tree is pure
@@ -174,12 +218,12 @@ def encode_frame_device(spec: FrameSpec, frame: jax.Array):
         if spec.max_width > 32
         else None
     )
-    max_block_bits = 12 + spec.block * spec.max_width
-    words, total_bits = pack_frame(
+    words, total_bits, overflow = pack_frame(
         lo, width, hb, hv.astype(_U32), plan["counts"],
-        max_block_bits, out_words=spec.n_words, values_hi=hi,
+        spec.max_block_bits, out_words=spec.out_words, values_hi=hi,
+        caps=spec.pack_caps if spec.cap_ratio < 1.0 else None,
     )
-    return words, total_bits, jnp.max(width)
+    return words, total_bits, jnp.max(width), overflow
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -195,10 +239,17 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec) -> np.ndarray:
     return out
 
 
+#: default optimistic capacity for the device encoder — sized for streams
+#: compressing to <= 50% of worst case (diffraction data runs ~21%); the
+#: worst-case kernel is re-run automatically on the rare overflow
+DEFAULT_CAP_RATIO = 0.5
+
+
 def encode(
     frames: np.ndarray,
     block: int = DEFAULT_BLOCK,
     dimensions: tuple[int, ...] = (),
+    cap_ratio: float = DEFAULT_CAP_RATIO,
 ) -> TrpxArchive:
     """Host wrapper: encode frames on the device and assemble a byte-exact
     ``.trpx`` archive.
@@ -217,10 +268,18 @@ def encode(
     elif frames.ndim != 2:
         raise ValueError("frames must be 1-D, 2-D (batch) or 3-D (image stack)")
     F, n = frames.shape
-    spec = FrameSpec.for_dtype(n, frames.dtype, block)
-    words, bits, maxw = jax.device_get(
-        encode_batch_device(spec, _pad_batch(frames, spec))
+    spec = FrameSpec.for_dtype(n, frames.dtype, block, cap_ratio=cap_ratio)
+    padded = _pad_batch(frames, spec)
+    words, bits, maxw, over = jax.device_get(
+        encode_batch_device(spec, padded)
     )
+    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+        # optimistic capacities overflowed (incompressible data):
+        # re-encode with the guaranteed worst-case kernel
+        spec = spec.with_ratio(1.0)
+        words, bits, maxw, over = jax.device_get(
+            encode_batch_device(spec, padded)
+        )
     return assemble_archive(spec, words, bits, maxw, dimensions)
 
 
@@ -308,13 +367,12 @@ def decode_frame_tree(spec: FrameSpec, words: jax.Array, widths: jax.Array):
     P = 1
     while P < nb:
         P *= 2
-    cap = row_capacity(12 + B * spec.max_width)
+    cap = row_capacity(spec.max_block_bits)
     bb = jnp.concatenate([block_bits, jnp.zeros((P - nb,), _I32)])
-    need = P * cap
-    w = words[:need] if words.shape[0] >= need else jnp.concatenate(
-        [words, jnp.zeros((need - words.shape[0],), _U32)]
-    )
-    rows = split_stream(w, bb, cap)[:nb]
+    # words may be sized to the actual stream (walk_archive buckets it);
+    # the split tree clamps node capacities at that size
+    rows = split_stream(words, bb, cap,
+                        max_block_bits=spec.max_block_bits)[:nb]
     lo, _ = extract_values(rows, widths, hb, B)
     w2 = widths[:, None]
     u = lo & _mask_for(w2)
@@ -355,7 +413,6 @@ def walk_archive(
     payload = archive.payload
     widths = np.zeros((Fp, nb), dtype=np.int32)
     poffs = np.zeros((Fp, nb), dtype=np.int32)
-    words = np.zeros((Fp, spec.n_words), dtype=np.uint32)
     try:
         from .. import native
 
@@ -381,6 +438,15 @@ def walk_archive(
             poffs[f] = o - pos * 8
             starts[f], ends[f] = pos, nxt
             pos = nxt
+    # bucket the per-frame word buffers to the ACTUAL stream size (pow2,
+    # bounding recompiles): the split tree clamps its node capacities at
+    # this size — the decode analog of the encoder's soft capacities
+    max_bytes = int(np.max(ends - starts)) if F else 1
+    cap_words = 2
+    while cap_words * 4 < max_bytes + 8:
+        cap_words *= 2
+    cap_words = min(cap_words, spec.n_words)
+    words = np.zeros((Fp, cap_words), dtype=np.uint32)
     byte_view = words.view(np.uint8).reshape(Fp, -1)
     raw = np.frombuffer(payload, dtype=np.uint8)
     for f in range(F):

@@ -102,18 +102,51 @@ def _merge_level_unrolled(A, B, la, max_la_bits: int):
     return A2 | B2
 
 
+def capacity_schedule(
+    P: int, cap0: int, max_block_bits: int, ratio: float
+) -> list[int]:
+    """Per-level row word capacities for the merge tree.
+
+    ``ratio = 1.0`` is the worst case (capacity doubles every level and no
+    overflow is possible). ``ratio < 1`` sizes upper levels for strings
+    that compress to at most ``ratio`` of the worst case — an *optimistic*
+    bound: the tree detects overflow and callers fall back to the
+    ``ratio=1.0`` kernel (ops/coding.py), so correctness never depends on
+    the guess. Early levels stay at full capacity (single-block variance
+    is unbounded); the ratio engages once rows aggregate >= 8 blocks.
+    """
+    caps = []
+    C = cap0
+    blocks = 1
+    while blocks <= P:
+        if ratio >= 1.0 or blocks < 8:
+            cap = min(C, cap0 * max(blocks, 1))
+        else:
+            need = int(blocks * max_block_bits * ratio) + 32 * cap0
+            cap = min(cap0 * blocks, -(-need // 32))
+        caps.append(max(cap, 1))
+        blocks *= 2
+        C *= 2
+    return caps
+
+
 def ragged_concat(rows: jax.Array, lengths: jax.Array,
-                  max_string_bits: int | None = None):
+                  max_string_bits: int | None = None,
+                  caps: list[int] | None = None):
     """Concatenate P variable-length bitstrings (P a power of two).
 
     rows:    (P, C0) uint32 — string ``p`` occupies bits [0, lengths[p])
     lengths: (P,) int32
     max_string_bits: static upper bound on any level-0 string length
                      (defaults to C0*32 - 31); bounds the lifting depth.
+    caps:    optional per-level row word capacities (capacity_schedule);
+             levels beyond a row's capacity flag overflow instead of
+             corrupting.
 
-    Returns (words (P*C0,) uint32, total_bits int32). Zero-length rows
-    concatenate as nothing, so callers pad P to a power of two with
-    all-zero rows of length 0.
+    Returns (words, total_bits, overflowed) — ``overflowed`` is a bool
+    scalar; when True the words are invalid and the caller must re-run
+    with full capacities. Zero-length rows concatenate as nothing, so
+    callers pad P to a power of two with all-zero rows of length 0.
     """
     P, C = rows.shape
     if P & (P - 1):
@@ -121,23 +154,26 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array,
     if max_string_bits is None:
         max_string_bits = C * 32 - 31
     lengths = lengths.astype(_I32)
-    max_bits = max_string_bits  # max bits of one string at current level
+    max_bits = max_string_bits  # worst-case bits of one string this level
+    overflow = jnp.zeros((), bool)
+    level = 0
     while P > 1:
         A = rows[0::2]
         B = rows[1::2]
         la = lengths[0::2]
         lb = lengths[1::2]
+        # effective bound on la for the shift decomposition
+        la_bound = min(max_bits, C * 32)
         if P <= _UNROLL_ROWS:
-            rows = _merge_level_unrolled(A, B, la, max_bits)
+            rows = _merge_level_unrolled(A, B, la, la_bound)
         else:
             C2 = 2 * C
             pad = jnp.zeros((P // 2, C), _U32)
             A2 = jnp.concatenate([A, pad], axis=1)
             B2 = jnp.concatenate([B, pad], axis=1)
-            # place B at bit offset la: word part then bit part; the word
-            # shift can never exceed the level's maximum string length
+            # place B at bit offset la: word part then bit part
             B2 = _word_shift_up(
-                B2, (la >> 5).astype(_U32), max_shift=max_bits // 32 + 1
+                B2, (la >> 5).astype(_U32), max_shift=la_bound // 32 + 1
             )
             B2 = _funnel_up(B2, (la & 31).astype(_U32))
             rows = A2 | B2
@@ -145,7 +181,14 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array,
         P //= 2
         C = 2 * C
         max_bits *= 2
-    return rows[0], lengths[0]
+        level += 1
+        if caps is not None and level < len(caps) and caps[level] < C:
+            cap = caps[level]
+            # safe to shrink only if every string fits the soft capacity
+            overflow = overflow | jnp.any(lengths > cap * 32 - 31)
+            rows = rows[:, :cap]
+            C = cap
+    return rows[0], lengths[0], overflow
 
 
 def stage_blocks(
@@ -213,10 +256,12 @@ def pack_frame(
     max_block_bits: int,
     out_words: int | None = None,
     values_hi: jax.Array | None = None,
+    caps: tuple[int, ...] | None = None,
 ):
     """Full scatter-free pack of one frame: stage + merge tree.
 
-    Returns (words (out_words,) uint32, total_bits int32).
+    Returns (words (out_words,) uint32, total_bits int32, overflowed bool).
+    ``overflowed`` is always False when ``caps`` is None/full.
     """
     nb = values_u32.shape[0]
     cap = row_capacity(max_block_bits)
@@ -234,8 +279,10 @@ def pack_frame(
         lengths = jnp.concatenate(
             [lengths, jnp.zeros((P - nb,), _I32)]
         )
-    words, total = ragged_concat(rows, lengths,
-                                 max_string_bits=max_block_bits)
+    words, total, overflow = ragged_concat(
+        rows, lengths, max_string_bits=max_block_bits,
+        caps=list(caps) if caps is not None else None,
+    )
     if out_words is not None:
         if out_words <= words.shape[0]:
             words = words[:out_words]
@@ -243,4 +290,4 @@ def pack_frame(
             words = jnp.concatenate(
                 [words, jnp.zeros((out_words - words.shape[0],), _U32)]
             )
-    return words, total
+    return words, total, overflow

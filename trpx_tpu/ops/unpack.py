@@ -77,7 +77,11 @@ def split_stream(
     """Split one bitstream into P per-block rows (P = len(block_bits),
     a power of two; zero-length tail blocks yield zero rows).
 
-    words:      (P * cap_words,) uint32 — the frame stream at bit 0
+    words:      (R,) uint32 — the frame stream at bit 0. R may be smaller
+                than the worst case P*cap_words: the caller guarantees the
+                actual stream fits (R >= stream words + 1), and node
+                capacities clamp at R — the decode analog of the encode
+                side's soft capacities, sized from the (known) walk.
     block_bits: (P,) int32 per-block bit lengths
     Returns (P, cap_words) uint32 rows, block p's bits starting at bit 0.
     """
@@ -86,7 +90,8 @@ def split_stream(
         raise ValueError("block count must be a power of two")
     if max_block_bits is None:
         max_block_bits = cap_words * 32 - 31
-    C = P * cap_words
+    R = words.shape[0]
+    C = R
     rows = words[None, :]
     nodes = 1
     while nodes < P:
@@ -95,15 +100,17 @@ def split_stream(
         la = jnp.sum(
             block_bits.reshape(2 * nodes, half), axis=1
         ).astype(_I32)[0::2]
-        C2 = C // 2
-        max_la = half * max_block_bits           # static bound on la
+        # child capacity: worst case for `half` blocks, clamped at the
+        # actual stream size R (a child never outgrows the whole stream)
+        C2 = min(-(-(half * max_block_bits + 31) // 32), C)
+        max_la = min(half * max_block_bits, C * 32)  # static bound on la
         A = rows[:, :C2]
         if nodes <= _UNROLL_ROWS // 2:
             max_k = min(C, max_la // 32 + 1)
             out = []
             for m in range(rows.shape[0]):
                 buf = jnp.concatenate(
-                    [rows[m], jnp.zeros((max_k,), _U32)]
+                    [rows[m], jnp.zeros((max_k + C2,), _U32)]
                 )
                 k = jnp.clip(la[m] >> 5, 0, max_k).astype(_I32)
                 out.append(jax.lax.dynamic_slice(buf, (k,), (C2,)))
@@ -112,6 +119,8 @@ def split_stream(
             B = _word_shift_down(
                 rows, (la >> 5).astype(_U32), max_shift=max_la // 32 + 1
             )[:, :C2]
+        # safe to funnel after the C2 cut: a child's bits end at
+        # (la&31) + len_child <= 31 + (C2*32 - 31) = C2*32
         B = _funnel_down(B, (la & 31).astype(_U32))
         rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
         nodes *= 2

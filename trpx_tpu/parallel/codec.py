@@ -67,7 +67,7 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
     """
 
     def local_encode(frames_local):
-        words, bits, maxw = jax.vmap(
+        words, bits, maxw, over = jax.vmap(
             lambda f: encode_frame_device(spec, f)
         )(frames_local)
         nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
@@ -80,13 +80,16 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
         offsets = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
         total = ends[-1]
         prolix = jax.lax.pmax(jnp.max(maxw), AXIS)
-        return words, flat, offsets, total, prolix
+        overflow = jax.lax.pmax(
+            jnp.any(over).astype(jnp.int32), AXIS
+        )
+        return words, flat, offsets, total, prolix, overflow
 
     return shard_map(
         local_encode,
         mesh=mesh,
         in_specs=P(AXIS, None),
-        out_specs=(P(AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(AXIS, None), P(), P(), P(), P(), P()),
         check_vma=False,
     )(frames)
 
@@ -122,9 +125,15 @@ class ShardedCodec:
         """Encode (F, n) frames mesh-parallel into a byte-exact archive."""
         padded, F = self.pad_frames(frames)
         x = self._shard(padded, P(AXIS, None))
-        words, nbytes, offsets, total, prolix = jax.device_get(
-            _encode_sharded_jit(self.spec, self.mesh, x)
+        spec = self.spec
+        words, nbytes, offsets, total, prolix, over = jax.device_get(
+            _encode_sharded_jit(spec, self.mesh, x)
         )
+        if spec.cap_ratio < 1.0 and int(over):
+            spec = spec.with_ratio(1.0)
+            words, nbytes, offsets, total, prolix, over = jax.device_get(
+                _encode_sharded_jit(spec, self.mesh, x)
+            )
         return self.assemble(
             words[:F], nbytes[:F], offsets[:F], int(prolix), F, dimensions
         )
@@ -163,9 +172,12 @@ class ShardedCodec:
         x = jax.make_array_from_single_device_arrays(
             global_shape, sharding, arrs
         )
-        words, nbytes, offsets, total, prolix = _encode_sharded_jit(
-            self.spec, self.mesh, x
-        )
+        spec = self.spec
+        out = _encode_sharded_jit(spec, self.mesh, x)
+        if spec.cap_ratio < 1.0 and int(jax.device_get(out[5])):
+            spec = spec.with_ratio(1.0)
+            out = _encode_sharded_jit(spec, self.mesh, x)
+        words, nbytes, offsets, total, prolix, _ = out
         # local words: addressable shards in global frame order
         shards = sorted(
             words.addressable_shards, key=lambda s: s.index[0].start or 0
@@ -263,7 +275,8 @@ def encode_sharded(
             dimensions = (frames.shape[2], frames.shape[1])
         frames = frames.reshape(frames.shape[0], -1)
     mesh = mesh or default_mesh()
-    spec = FrameSpec.for_dtype(frames.shape[1], frames.dtype, block)
+    spec = FrameSpec.for_dtype(frames.shape[1], frames.dtype, block,
+                               cap_ratio=0.5)
     return ShardedCodec(spec, mesh).encode(frames, dimensions)
 
 

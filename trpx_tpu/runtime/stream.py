@@ -78,7 +78,8 @@ class StreamingEncoder:
         self.part = self.path.with_name(self.path.name + ".part")
         self.manifest_path = self.path.with_name(self.path.name + ".manifest")
         self.dtype = np.dtype(dtype)
-        self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block)
+        self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block,
+                                        cap_ratio=0.5)
         self.sync_every_chunk = sync_every_chunk
         if self.manifest_path.exists():
             m = _Manifest.load(self.manifest_path)
@@ -124,9 +125,15 @@ class StreamingEncoder:
             raise ValueError("chunk shape/dtype does not match the stream")
         padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
         padded[:, : self.spec.n] = frames
-        words, bits, maxw = jax.device_get(
-            encode_batch_device(self.spec, padded)
+        spec = self.spec
+        words, bits, maxw, over = jax.device_get(
+            encode_batch_device(spec, padded)
         )
+        if spec.cap_ratio < 1.0 and bool(np.any(over)):
+            spec = spec.with_ratio(1.0)
+            words, bits, maxw, over = jax.device_get(
+                encode_batch_device(spec, padded)
+            )
         words = np.ascontiguousarray(words)
         byte_view = words.view(np.uint8).reshape(F, -1)
         with open(self.part, "r+b") as f:
