@@ -371,10 +371,10 @@ def decode_frame_tree(spec: FrameSpec, words: jax.Array, widths: jax.Array):
     bb = jnp.concatenate([block_bits, jnp.zeros((P - nb,), _I32)])
     # words may be sized to the actual stream (walk_archive buckets it);
     # the split tree clamps node capacities at that size
-    rows = split_stream(words, bb, cap,
-                        max_block_bits=spec.max_block_bits)[:nb]
-    lo, _ = extract_values(rows, widths, hb, B)
-    w2 = widths[:, None]
+    rows_t = split_stream(words, bb, cap,
+                          max_block_bits=spec.max_block_bits)[:, :nb]
+    lo, _ = extract_values(rows_t, widths, hb, B)   # (B, nb)
+    w2 = widths[None, :]
     u = lo & _mask_for(w2)
     if spec.signed:
         # sign-extend w-bit two's complement into the int32 lane; for
@@ -385,7 +385,8 @@ def decode_frame_tree(spec: FrameSpec, words: jax.Array, widths: jax.Array):
         )
         ext = jnp.where((w2 < 32) & (top == 1), ~_mask_for(w2), _U32(0))
         u = u | ext
-    return jax.lax.bitcast_convert_type(u, _I32).reshape(-1)
+    vals = jax.lax.bitcast_convert_type(u, _I32)     # (B, nb)
+    return vals.T.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnums=0)

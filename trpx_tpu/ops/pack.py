@@ -43,6 +43,12 @@ def row_capacity(max_block_bits: int) -> int:
     return p
 
 
+#: switch from transposed (C, P) to row-major (P, C) orientation once rows
+#: reach this many words — below it, the word axis is too small for the
+#: VPU's 128 lanes, so the big axis (P) must ride the lanes instead
+_LANES = 128
+
+
 def _funnel_up(rows: jax.Array, s: jax.Array) -> jax.Array:
     """Shift each row's bitstring towards higher bit positions by
     ``s in [0, 32)`` bits (LSB-first streams: bit p lives at word p>>5,
@@ -54,6 +60,16 @@ def _funnel_up(rows: jax.Array, s: jax.Array) -> jax.Array:
     # (prev >> (32 - s)) with a well-defined 0 at s == 0
     carry = (prev >> (_U32(31) - s)) >> _U32(1)
     return (rows << s) | carry
+
+
+def _funnel_up_t(rows_t: jax.Array, s: jax.Array) -> jax.Array:
+    """Transposed funnel: rows_t (C, P), s (P,). Word axis is axis 0."""
+    s = s[None, :].astype(_U32)
+    prev = jnp.concatenate(
+        [jnp.zeros((1, rows_t.shape[1]), _U32), rows_t[:-1]], axis=0
+    )
+    carry = (prev >> (_U32(31) - s)) >> _U32(1)
+    return (rows_t << s) | carry
 
 
 def _word_shift_up(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
@@ -71,6 +87,23 @@ def _word_shift_up(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
         step *= 2
         j += 1
     return rows
+
+
+def _word_shift_up_t(rows_t: jax.Array, k: jax.Array,
+                     max_shift: int) -> jax.Array:
+    """Transposed lifting: rows_t (C, P), k (P,)."""
+    C, P = rows_t.shape
+    step = 1
+    j = 0
+    while step <= max_shift and step < C:
+        bit = ((k >> j) & 1).astype(bool)[None, :]
+        shifted = jnp.concatenate(
+            [jnp.zeros((step, P), _U32), rows_t[:-step]], axis=0
+        )
+        rows_t = jnp.where(bit, shifted, rows_t)
+        step *= 2
+        j += 1
+    return rows_t
 
 
 #: below this row count the merge switches to unrolled per-row dynamic
@@ -130,12 +163,14 @@ def capacity_schedule(
     return caps
 
 
-def ragged_concat(rows: jax.Array, lengths: jax.Array,
+def ragged_concat(rows, lengths: jax.Array,
                   max_string_bits: int | None = None,
-                  caps: list[int] | None = None):
+                  caps: list[int] | None = None,
+                  transposed: bool = False):
     """Concatenate P variable-length bitstrings (P a power of two).
 
-    rows:    (P, C0) uint32 — string ``p`` occupies bits [0, lengths[p])
+    rows:    (P, C0) uint32 — string ``p`` occupies bits [0, lengths[p]) —
+             or (C0, P) when ``transposed`` (stage_blocks' native output).
     lengths: (P,) int32
     max_string_bits: static upper bound on any level-0 string length
                      (defaults to C0*32 - 31); bounds the lifting depth.
@@ -147,8 +182,15 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array,
     scalar; when True the words are invalid and the caller must re-run
     with full capacities. Zero-length rows concatenate as nothing, so
     callers pad P to a power of two with all-zero rows of length 0.
+
+    Orientation: while rows are narrower than the VPU lane count the
+    merge runs transposed — (C, P) with the huge pair axis on lanes —
+    and flips to row-major (P, C) once C reaches 128 (one transpose).
     """
-    P, C = rows.shape
+    if transposed:
+        C, P = rows.shape
+    else:
+        P, C = rows.shape
     if P & (P - 1):
         raise ValueError("row count must be a power of two")
     if max_string_bits is None:
@@ -158,19 +200,31 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array,
     overflow = jnp.zeros((), bool)
     level = 0
     while P > 1:
-        A = rows[0::2]
-        B = rows[1::2]
         la = lengths[0::2]
         lb = lengths[1::2]
-        # effective bound on la for the shift decomposition
         la_bound = min(max_bits, C * 32)
-        if P <= _UNROLL_ROWS:
-            rows = _merge_level_unrolled(A, B, la, la_bound)
+        if transposed and (2 * C >= _LANES or P <= 2 * _UNROLL_ROWS):
+            rows = rows.T  # one flip to row-major for the deep levels
+            transposed = False
+        if transposed:
+            A = rows[:, 0::2]
+            B = rows[:, 1::2]
+            pad = jnp.zeros((C, P // 2), _U32)
+            A2 = jnp.concatenate([A, pad], axis=0)
+            B2 = jnp.concatenate([B, pad], axis=0)
+            B2 = _word_shift_up_t(
+                B2, (la >> 5).astype(_U32), max_shift=la_bound // 32 + 1
+            )
+            B2 = _funnel_up_t(B2, (la & 31).astype(_U32))
+            rows = A2 | B2
+        elif P <= _UNROLL_ROWS:
+            rows = _merge_level_unrolled(rows[0::2], rows[1::2], la,
+                                         la_bound)
         else:
             C2 = 2 * C
             pad = jnp.zeros((P // 2, C), _U32)
-            A2 = jnp.concatenate([A, pad], axis=1)
-            B2 = jnp.concatenate([B, pad], axis=1)
+            A2 = jnp.concatenate([rows[0::2], pad], axis=1)
+            B2 = jnp.concatenate([rows[1::2], pad], axis=1)
             # place B at bit offset la: word part then bit part
             B2 = _word_shift_up(
                 B2, (la >> 5).astype(_U32), max_shift=la_bound // 32 + 1
@@ -186,9 +240,10 @@ def ragged_concat(rows: jax.Array, lengths: jax.Array,
             cap = caps[level]
             # safe to shrink only if every string fits the soft capacity
             overflow = overflow | jnp.any(lengths > cap * 32 - 31)
-            rows = rows[:, :cap]
+            rows = rows[:cap] if transposed else rows[:, :cap]
             C = cap
-    return rows[0], lengths[0], overflow
+    out = rows[:, 0] if transposed else rows[0]
+    return out, lengths[0], overflow
 
 
 def stage_blocks(
@@ -212,39 +267,50 @@ def stage_blocks(
     values_hi:     optional (nb, B) uint32 — field bits 32.. (the int32
                    sign bit of width-33 fields)
 
-    Returns (rows (nb, cap_words) uint32, lengths (nb,) int32).
+    Returns (rows_t (cap_words, nb) uint32 — TRANSPOSED so the big block
+    axis rides the VPU lanes — and lengths (nb,) int32).
 
     Placement is scatter-free: for each target word ``i`` (static loop over
-    cap_words) every value contributes via masked shifts (its low part if
-    it starts in word i, its carry parts if it started in earlier words).
+    cap_words, pruned to each value's statically reachable range) every
+    value contributes via masked shifts (its low part if it starts in word
+    i, its carry parts if it started in earlier words).
     """
     nb, B = values_u32.shape
-    w = widths[:, None].astype(_I32)                      # (nb, 1)
-    off = header_bits[:, None] + jnp.arange(B, dtype=_I32)[None, :] * w
-    valid = jnp.arange(B, dtype=_I32)[None, :] < counts[:, None]
-    v = jnp.where(valid & (w > 0), values_u32, _U32(0))
-    word_idx = off >> 5                                   # (nb, B)
-    bit_idx = (off & 31).astype(_U32)
-    lo = v << bit_idx
-    hi = (v >> (_U32(31) - bit_idx)) >> _U32(1)
-    if values_hi is not None:
-        vh = jnp.where(valid & (w > 32), values_hi, _U32(0))
-        hi = hi | (vh << bit_idx)       # bits 32.. land one word up
-        hi2 = (vh >> (_U32(31) - bit_idx)) >> _U32(1)
-    cols = []
-    for i in range(cap_words):
-        contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
-            word_idx == i - 1, hi, _U32(0)
-        )
-        if values_hi is not None:
-            contrib = contrib | jnp.where(word_idx == i - 2, hi2, _U32(0))
-        word = jnp.bitwise_or.reduce(contrib, axis=1)
-        if i == 0:
-            word = word | header_values.astype(_U32)
-        cols.append(word)
-    rows = jnp.stack(cols, axis=1)
+    # transposed compute: the block axis (large) rides the VPU lanes
+    v_t = values_u32.T                                    # (B, nb)
+    vh_t = values_hi.T if values_hi is not None else None
+    w = widths.astype(_I32)                               # (nb,)
+    wpos = w > 0
+    cols = [jnp.zeros((nb,), _U32) for _ in range(cap_words)]
+    cols[0] = header_values.astype(_U32)
+    for j in range(B):
+        off = header_bits + j * w                         # (nb,)
+        valid = (j < counts) & wpos
+        vj = jnp.where(valid, v_t[j], _U32(0))
+        word_idx = off >> 5
+        bit_idx = (off & 31).astype(_U32)
+        lo = vj << bit_idx
+        hi = (vj >> (_U32(31) - bit_idx)) >> _U32(1)
+        if vh_t is not None:
+            vhj = jnp.where(valid & (w > 32), vh_t[j], _U32(0))
+            hi = hi | (vhj << bit_idx)   # bits 32.. land one word up
+            hi2 = (vhj >> (_U32(31) - bit_idx)) >> _U32(1)
+        # static reachability pruning: value j starts at off in
+        # [1 + j, 12 + j*max_w] and its parts reach words word_idx..+2
+        max_w = (cap_words * 32 - 12) // B
+        i_lo = (1 + j) >> 5
+        i_hi = min(cap_words - 1, ((12 + (j + 1) * max_w) >> 5) + 2)
+        for i in range(i_lo, i_hi + 1):
+            contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
+                word_idx == i - 1, hi, _U32(0)
+            )
+            if vh_t is not None:
+                contrib = contrib | jnp.where(word_idx == i - 2, hi2,
+                                              _U32(0))
+            cols[i] = cols[i] | contrib
+    rows_t = jnp.stack(cols, axis=0)                      # (cap, nb)
     lengths = (header_bits + widths * counts).astype(_I32)
-    return rows, lengths
+    return rows_t, lengths
 
 
 def pack_frame(
@@ -265,7 +331,7 @@ def pack_frame(
     """
     nb = values_u32.shape[0]
     cap = row_capacity(max_block_bits)
-    rows, lengths = stage_blocks(
+    rows_t, lengths = stage_blocks(
         values_u32, widths, header_bits, header_values, counts, cap,
         values_hi=values_hi,
     )
@@ -273,15 +339,16 @@ def pack_frame(
     while P < nb:
         P *= 2
     if P != nb:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((P - nb, cap), _U32)], axis=0
+        rows_t = jnp.concatenate(
+            [rows_t, jnp.zeros((cap, P - nb), _U32)], axis=1
         )
         lengths = jnp.concatenate(
             [lengths, jnp.zeros((P - nb,), _I32)]
         )
     words, total, overflow = ragged_concat(
-        rows, lengths, max_string_bits=max_block_bits,
+        rows_t, lengths, max_string_bits=max_block_bits,
         caps=list(caps) if caps is not None else None,
+        transposed=True,
     )
     if out_words is not None:
         if out_words <= words.shape[0]:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .pack import row_capacity
+from .pack import _LANES, row_capacity
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -38,6 +38,33 @@ def _funnel_down(rows: jax.Array, s: jax.Array) -> jax.Array:
     # (nxt << (32 - s)) with a well-defined 0 at s == 0
     carry = (nxt << (_U32(31) - s)) << _U32(1)
     return (rows >> s) | carry
+
+
+def _funnel_down_t(rows_t: jax.Array, s: jax.Array) -> jax.Array:
+    """Transposed funnel: rows_t (C, P), word axis 0, s (P,)."""
+    s = s[None, :].astype(_U32)
+    nxt = jnp.concatenate(
+        [rows_t[1:], jnp.zeros((1, rows_t.shape[1]), _U32)], axis=0
+    )
+    carry = (nxt << (_U32(31) - s)) << _U32(1)
+    return (rows_t >> s) | carry
+
+
+def _word_shift_down_t(rows_t: jax.Array, k: jax.Array,
+                       max_shift: int) -> jax.Array:
+    """Transposed lifting: rows_t (C, P), k (P,)."""
+    C, P = rows_t.shape
+    step = 1
+    j = 0
+    while step <= max_shift and step < C:
+        bit = ((k >> j) & 1).astype(bool)[None, :]
+        shifted = jnp.concatenate(
+            [rows_t[step:], jnp.zeros((step, P), _U32)], axis=0
+        )
+        rows_t = jnp.where(bit, shifted, rows_t)
+        step *= 2
+        j += 1
+    return rows_t
 
 
 def _word_shift_down(rows: jax.Array, k: jax.Array, max_shift: int) -> jax.Array:
@@ -93,6 +120,7 @@ def split_stream(
     R = words.shape[0]
     C = R
     rows = words[None, :]
+    transposed = False
     nodes = 1
     while nodes < P:
         half = P // (2 * nodes)                  # blocks per child
@@ -104,8 +132,21 @@ def split_stream(
         # actual stream size R (a child never outgrows the whole stream)
         C2 = min(-(-(half * max_block_bits + 31) // 32), C)
         max_la = min(half * max_block_bits, C * 32)  # static bound on la
-        A = rows[:, :C2]
-        if nodes <= _UNROLL_ROWS // 2:
+        if (not transposed and C2 < _LANES
+                and nodes > _UNROLL_ROWS // 2):
+            rows = rows.T                        # (C, nodes): flip once
+            transposed = True
+        if transposed:
+            A = rows[:C2]
+            B = _word_shift_down_t(
+                rows, (la >> 5).astype(_U32), max_shift=max_la // 32 + 1
+            )[:C2]
+            # safe to funnel after the C2 cut: a child's bits end at
+            # (la&31) + len_child <= 31 + (C2*32 - 31) = C2*32
+            B = _funnel_down_t(B, (la & 31).astype(_U32))
+            rows = jnp.stack([A, B], axis=2).reshape(C2, 2 * nodes)
+        elif nodes <= _UNROLL_ROWS // 2:
+            A = rows[:, :C2]
             max_k = min(C, max_la // 32 + 1)
             out = []
             for m in range(rows.shape[0]):
@@ -115,21 +156,24 @@ def split_stream(
                 k = jnp.clip(la[m] >> 5, 0, max_k).astype(_I32)
                 out.append(jax.lax.dynamic_slice(buf, (k,), (C2,)))
             B = jnp.stack(out)
+            B = _funnel_down(B, (la & 31).astype(_U32))
+            rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
         else:
+            A = rows[:, :C2]
             B = _word_shift_down(
                 rows, (la >> 5).astype(_U32), max_shift=max_la // 32 + 1
             )[:, :C2]
-        # safe to funnel after the C2 cut: a child's bits end at
-        # (la&31) + len_child <= 31 + (C2*32 - 31) = C2*32
-        B = _funnel_down(B, (la & 31).astype(_U32))
-        rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
+            B = _funnel_down(B, (la & 31).astype(_U32))
+            rows = jnp.stack([A, B], axis=1).reshape(2 * nodes, C2)
         nodes *= 2
         C = C2
-    return rows
+    # always hand back transposed (C, P): extract_values consumes the
+    # word axis as axis 0 so the big block axis stays on the VPU lanes
+    return rows if transposed else rows.T
 
 
 def extract_values(
-    rows: jax.Array,
+    rows_t: jax.Array,
     widths: jax.Array,
     header_bits: jax.Array,
     block: int,
@@ -137,27 +181,39 @@ def extract_values(
 ):
     """Per-value field extraction from per-block rows.
 
-    rows: (nb, C0) uint32; widths/header_bits: (nb,) int32.
-    Returns (nb, block) uint32 fields (low 32 bits), plus the bit-32 plane
-    (nb, block) uint32 when ``wide`` (width-33 signed fields).
+    rows_t: (C0, nb) uint32 TRANSPOSED (split_stream's output);
+    widths/header_bits: (nb,) int32.
+    Returns (block, nb) uint32 fields (low 32 bits), plus the bit-32 plane
+    (block, nb) uint32 when ``wide`` (width-33 signed fields).
     """
-    nb, C0 = rows.shape
-    w = widths[:, None].astype(_I32)
-    off = header_bits[:, None] + jnp.arange(block, dtype=_I32)[None, :] * w
-    word_idx = off >> 5                          # (nb, block) in [0, C0)
-    bit_idx = (off & 31).astype(_U32)
-    lo = jnp.zeros((nb, block), _U32)
-    hi = jnp.zeros((nb, block), _U32)
-    for i in range(C0):
-        cur = rows[:, i][:, None]
-        nxt = rows[:, i + 1][:, None] if i + 1 < C0 else jnp.zeros_like(cur)
-        nx2 = rows[:, i + 2][:, None] if i + 2 < C0 else jnp.zeros_like(cur)
-        sel = word_idx == i
-        win = (cur >> bit_idx) | ((nxt << (_U32(31) - bit_idx)) << _U32(1))
-        lo = jnp.where(sel, win, lo)
-        if wide:
-            win_hi = (nxt >> bit_idx) | (
-                (nx2 << (_U32(31) - bit_idx)) << _U32(1)
+    C0, nb = rows_t.shape
+    w = widths.astype(_I32)                      # (nb,)
+    zero = jnp.zeros((nb,), _U32)
+    los = []
+    his = []
+    for j in range(block):
+        off = header_bits + j * w                # (nb,)
+        word_idx = off >> 5
+        bit_idx = (off & 31).astype(_U32)
+        lo = zero
+        hi = zero
+        # static reachability: off <= max_block_bits, word span tiny
+        for i in range(C0):
+            cur = rows_t[i]
+            nxt = rows_t[i + 1] if i + 1 < C0 else zero
+            nx2 = rows_t[i + 2] if i + 2 < C0 else zero
+            sel = word_idx == i
+            win = (cur >> bit_idx) | (
+                (nxt << (_U32(31) - bit_idx)) << _U32(1)
             )
-            hi = jnp.where(sel, win_hi, hi)
-    return (lo, hi) if wide else (lo, None)
+            lo = jnp.where(sel, win, lo)
+            if wide:
+                win_hi = (nxt >> bit_idx) | (
+                    (nx2 << (_U32(31) - bit_idx)) << _U32(1)
+                )
+                hi = jnp.where(sel, win_hi, hi)
+        los.append(lo)
+        his.append(hi)
+    lo = jnp.stack(los, axis=0)                  # (block, nb)
+    hi = jnp.stack(his, axis=0) if wide else None
+    return lo, hi
