@@ -85,6 +85,11 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
                    help=f"values per block (default {DEFAULT_BLOCK})")
     p.add_argument("--host", action="store_true",
                    help="force the host codec (no device/JAX path)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream movie stacks through the chunked encoder "
+                        "(bounded memory, resumable)")
+    p.add_argument("--chunk-frames", type=int, default=256,
+                   help="frames per device batch in --stream mode")
 
 
 def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
@@ -93,6 +98,33 @@ def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
         out_dir.mkdir(parents=True, exist_ok=True)
         dst = out_dir / dst.name
     return dst
+
+
+def _encode_streaming(src: Path, args) -> tuple[int, int]:
+    """--stream path: memory-mapped TIFF -> chunked resumable encoder.
+    Returns (raw_bytes, compressed_bytes)."""
+    from ..io.tiff import TiffStream
+    from ..runtime.stream import StreamingEncoder
+
+    ts = TiffStream(src)
+    if not ts.uniform():
+        raise ValueError(
+            "TIFF file contains a stack of images with varying sizes."
+        )
+    w, h = ts.dims
+    dst = _out_path(src, ".trpx", args.out_dir)
+    enc = StreamingEncoder(dst, nvalues=w * h,
+                           dtype=ts.infos[0].dtype.newbyteorder("="),
+                           block=args.block, dimensions=(w, h))
+    start = enc.frames_done  # resume point if a manifest exists
+    for lo in range(start, len(ts), args.chunk_frames):
+        chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))
+        enc.add_frames(chunk.reshape(chunk.shape[0], -1))
+    enc.finalize(verify=True)
+    raw = sum(i.nbytes for i in ts.infos)
+    comp = dst.stat().st_size
+    ts.close()
+    return raw, comp
 
 
 def _encode_files(args) -> int:
@@ -107,6 +139,17 @@ def _encode_files(args) -> int:
         if not (src.is_file() and src.suffix in _TIF_EXTS):
             continue  # same skip rule as terse.cpp:45-48
         try:
+            if args.stream:
+                t0 = time.perf_counter()
+                raw, comp = _encode_streaming(src, args)
+                total_tif += raw
+                total_trpx += comp
+                user_time += time.perf_counter() - t0
+                if args.delete_inputs:
+                    print(f"Deleting original TIFF file: {src}")
+                    src.unlink()
+                n_done += 1
+                continue
             t0 = time.perf_counter()
             stack = read_tiff(src)
             t1 = time.perf_counter()

@@ -185,7 +185,8 @@ def read_tiff(src) -> TiffStack:
     return stack
 
 
-def _make_image(base: memoryview, end: str, tags: dict[int, list[int]]) -> np.ndarray:
+def _make_image(base: memoryview, end: str, tags: dict[int, list[int]],
+                lazy: bool = False):
     def one(tag: int, default: int | None = None) -> int:
         if tag not in tags:
             if default is None:
@@ -229,11 +230,113 @@ def _make_image(base: memoryview, end: str, tags: dict[int, list[int]]) -> np.nd
     if start + nbytes > len(base):
         raise TiffError("pixel data out of bounds")
     dtype = _DTYPES[(bits, fmt)].newbyteorder(end)
+    if lazy:
+        return TiffFrameInfo(offset=start, width=width, height=height,
+                             dtype=dtype)
     arr = np.frombuffer(base, dtype=dtype, count=width * height, offset=start)
     # normalize to native endianness like Grey_tif does in place
     # (Grey_tif.hpp:814-823)
     arr = arr.astype(dtype.newbyteorder("="), copy=True)
     return arr.reshape(height, width)
+
+
+@dataclass(frozen=True)
+class TiffFrameInfo:
+    """Location of one image's pixels inside a TIFF file (for streaming)."""
+
+    offset: int
+    width: int
+    height: int
+    dtype: np.dtype  # byte order encoded in the dtype
+
+    @property
+    def nbytes(self) -> int:
+        return self.width * self.height * self.dtype.itemsize
+
+
+class TiffStream:
+    """Memory-mapped TIFF stack reader: parses the IFD chain once, then
+    serves frame ranges without loading the whole file — the ingest path
+    for 10k+-frame movie stacks (the reference slurps whole files,
+    Grey_tif.hpp:365-369)."""
+
+    def __init__(self, path):
+        self.path = path
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        data = self._mm[: 8].tobytes()
+        if len(data) < 8:
+            raise TiffError("not a TIFF: file shorter than header")
+        if data[0:2] == b"II":
+            end = "<"
+        elif data[0:2] == b"MM":
+            end = ">"
+        else:
+            raise TiffError("not a TIFF: bad byte-order mark")
+        u16, u32 = end + "H", end + "I"
+        (magic,) = struct.unpack(u16, data[2:4])
+        if magic != 42:
+            raise TiffError("not a TIFF: magic != 42")
+        (ifd_off,) = struct.unpack(u32, data[4:8])
+        base = memoryview(self._mm)
+        self.infos: list[TiffFrameInfo] = []
+        seen = set()
+        n = len(self._mm)
+        while ifd_off:
+            if ifd_off in seen or ifd_off + 2 > n:
+                raise TiffError("bad IFD chain")
+            seen.add(ifd_off)
+            (n_entries,) = struct.unpack(
+                u16, bytes(base[ifd_off : ifd_off + 2])
+            )
+            tags: dict[int, list[int]] = {}
+            pos = ifd_off + 2
+            if pos + 12 * n_entries + 4 > n:
+                raise TiffError("truncated IFD")
+            for _ in range(n_entries):
+                tag, vals = _read_val(
+                    None, u16, u32, bytes(base[pos : pos + 12]), base
+                )
+                if vals is not None:
+                    tags[tag] = vals
+                pos += 12
+            (ifd_off,) = struct.unpack(u32, bytes(base[pos : pos + 4]))
+            img = _make_image(base, end, tags, lazy=True)
+            self.infos.append(img)
+        if not self.infos:
+            raise TiffError("TIFF contains no images")
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    @property
+    def dims(self) -> tuple[int, int]:
+        return (self.infos[0].width, self.infos[0].height)
+
+    def uniform(self) -> bool:
+        f0 = self.infos[0]
+        return all(
+            (i.width, i.height, i.dtype) == (f0.width, f0.height, f0.dtype)
+            for i in self.infos
+        )
+
+    def read(self, lo: int, hi: int) -> np.ndarray:
+        """Load frames [lo, hi) -> (hi-lo, h, w) native-endian array."""
+        out = []
+        for info in self.infos[lo:hi]:
+            arr = np.frombuffer(
+                self._mm, dtype=info.dtype,
+                count=info.width * info.height, offset=info.offset,
+            )
+            arr = arr.astype(info.dtype.newbyteorder("="), copy=True)
+            out.append(arr.reshape(info.height, info.width))
+        return np.stack(out)
+
+    def iter_chunks(self, chunk_frames: int = 256):
+        for lo in range(0, len(self.infos), chunk_frames):
+            yield self.read(lo, min(len(self.infos), lo + chunk_frames))
+
+    def close(self) -> None:
+        del self._mm
 
 
 def _ifd_entry(tag: int, ftype: int, value: int) -> bytes:
