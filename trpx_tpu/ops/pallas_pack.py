@@ -1,0 +1,368 @@
+"""Pallas TPU encode kernel: the whole merge tree in VMEM.
+
+The jnp tree (ops/pack.py) is HBM-bound: every level's intermediates
+round-trip to HBM (~100 MB per 512x512 frame measured). This kernel runs
+plan + stage + all merge levels inside one ``pallas_call`` per frame, so
+level intermediates live in VMEM and HBM sees only the input frame
+(~0.5 MB) and the packed words (~0.4 MB soft-capped).
+
+Bit semantics are identical to ops/pack.py (property-tested bit-identical
+against it and the normative Python codec); the data layout is shaped by
+what Mosaic lowers well — no strided slices, no gathers:
+
+  * blocks are arranged as ``b = r + R*l``: an outer node axis ``r``
+    (R = P/128 nodes) over L = 128 independent lane-local trees;
+  * phase 1 (log2 R levels): pairs are adjacent in the OUTER axis, so
+    A/B extraction is ``state.reshape(Rn//2, 2, C, L)[:, k]`` — pure
+    outer-dim reshapes/slices. Word shifts run along the sublane (word)
+    axis; per-node shift amounts broadcast over it.
+  * phase 2 (log2 L levels): the 128 surviving lane-trees transpose once
+    to rows ``(128, C)`` and merge with the (supported) middle-axis
+    deinterleave ``reshape(Pn//2, 2, C)[:, k, :]``.
+
+Soft capacities + overflow detection work exactly as in ops/pack.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .coding import FrameSpec
+from .pack import row_capacity
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int):
+    """Per-block tables as (R, L) planes; block b = r + R*l."""
+    B = spec.block
+    nb = spec.nb
+    if spec.signed:
+        mags = [
+            jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
+            for v in vplanes
+        ]
+    else:
+        mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
+    setbits = mags[0]
+    for m in mags[1:]:
+        setbits = setbits | m
+    nz = setbits != 0
+    width = jnp.where(
+        nz, _I32(32) - jax.lax.clz(setbits).astype(_I32), _I32(0)
+    )
+    if spec.signed:
+        width = width + nz.astype(_I32)
+    r_iota = jax.lax.broadcasted_iota(_I32, (R, L), 0)
+    l_iota = jax.lax.broadcasted_iota(_I32, (R, L), 1)
+    bidx = r_iota + R * l_iota
+    real = bidx < nb
+    width = jnp.where(real, width, _I32(0))
+    counts = jnp.clip(spec.n - bidx * B, 0, B)
+
+    # previous block's width: sublane shift down, lane wrap for r == 0
+    top = jnp.roll(width[R - 1 : R], 1, axis=1)
+    top = jnp.where(l_iota[:1] == 0, _I32(0), top)
+    if R > 1:
+        prev = jnp.concatenate([top, width[:-1]], axis=0)
+    else:
+        prev = top
+    repeat = (width == prev) & real
+    hb = jnp.where(
+        repeat, 1, jnp.where(width < 7, 4, jnp.where(width < 10, 6, 12))
+    ).astype(_I32)
+    hb = jnp.where(real, hb, _I32(0))
+    hv = jnp.where(
+        repeat,
+        1,
+        jnp.where(
+            width < 7,
+            width << 1,
+            jnp.where(
+                width < 10,
+                (0b111 | ((width - 7) << 3)) << 1,
+                (0b11111 | ((width - 10) << 5)) << 1,
+            ),
+        ),
+    ).astype(_U32)
+    hv = jnp.where(real, hv, _U32(0))
+    return width, hb, hv, counts
+
+
+def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
+            over_ref):
+    B = spec.block
+    P = spec.tree_rows
+    # sublane-align the level-0 capacity (e.g. uint8's 4 words -> 8)
+    cap = _round_up(row_capacity(spec.max_block_bits), 8)
+    caps = list(spec.pack_caps)
+    use_soft = spec.cap_ratio < 1.0
+    L = min(128, P)
+    R = P // L
+
+    # input arrives host-arranged as (1, B, R, L):
+    # [0, j, r, l] = value j of block b = r + R*l — plain slices only
+    vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]  # (R, L)
+    width, hb, hv, counts = _plan_planes(spec, vplanes, R, L)
+
+    wmask = jnp.where(
+        width >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (_U32(1) << jnp.clip(width, 0, 31).astype(_U32)) - _U32(1),
+    )
+
+    # ---- stage: (R, cap, L) — one fixed-capacity row per block ----------
+    cols = [jnp.zeros((R, L), _U32) for _ in range(cap)]
+    cols[0] = hv
+    max_w = (cap * 32 - 12) // B
+    for j in range(B):
+        off = hb + j * width                                # (R, L)
+        valid = (j < counts) & (width > 0)
+        vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
+        vj = jnp.where(valid, vu, _U32(0))
+        word_idx = off >> 5
+        bit_idx = (off & 31).astype(_U32)
+        lo = vj << bit_idx
+        hi = (vj >> (_U32(31) - bit_idx)) >> _U32(1)
+        if spec.max_width > 32:
+            vhj = jnp.where(
+                valid & (width > 32),
+                ((vplanes[j] < 0) & (width == 33)).astype(_U32),
+                _U32(0),
+            )
+            hi = hi | (vhj << bit_idx)
+            hi2 = (vhj >> (_U32(31) - bit_idx)) >> _U32(1)
+        i_lo = (1 + j) >> 5
+        i_hi = min(cap - 1, ((12 + (j + 1) * max_w) >> 5) + 2)
+        for i in range(i_lo, i_hi + 1):
+            contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
+                word_idx == i - 1, hi, _U32(0)
+            )
+            if spec.max_width > 32:
+                contrib = contrib | jnp.where(word_idx == i - 2, hi2,
+                                              _U32(0))
+            cols[i] = cols[i] | contrib
+    state = jnp.stack(cols, axis=1)                         # (R, cap, L)
+    lengths = (hb + width * counts).astype(_I32)            # (R, L)
+
+    overflow = jnp.zeros((), bool)
+    C = cap
+    max_bits = spec.max_block_bits
+    level = 0
+
+    def roll_up(x, step, axis):
+        """Shift words toward higher indices by a STATIC step along
+        ``axis`` (Mosaic-friendly: roll + iota mask, no unaligned
+        concats/slices)."""
+        rolled = jnp.roll(x, step, axis=axis)
+        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
+        return jnp.where(idx >= step, rolled, _U32(0))
+
+    # ---- phase 1: merge along the outer node axis -----------------------
+    # C stays 8-aligned so sublane-axis concats sit on tile boundaries.
+    Rn = R
+    while Rn > 1:
+        M = Rn // 2
+        s4 = state.reshape(M, 2, C, L)
+        A = s4[:, 0]
+        Bp = s4[:, 1]
+        l3 = lengths.reshape(M, 2, L)
+        la = l3[:, 0, :]                                    # (M, L)
+        lb = l3[:, 1, :]
+        la_bound = min(max_bits, C * 32)
+        C2 = 2 * C
+        zpad = jnp.zeros((M, C, L), _U32)
+        A2 = jnp.concatenate([A, zpad], axis=1)
+        B2 = jnp.concatenate([Bp, zpad], axis=1)
+        k = (la >> 5).astype(_U32)
+        step = 1
+        j = 0
+        while step <= la_bound // 32 + 1 and step < C2:
+            bit = ((k >> j) & 1).astype(bool)[:, None, :]
+            B2 = jnp.where(bit, roll_up(B2, step, 1), B2)
+            step *= 2
+            j += 1
+        s = (la & 31).astype(_U32)[:, None, :]
+        prevw = roll_up(B2, 1, 1)
+        B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
+        state = A2 | B2                                     # (M, C2, L)
+        lengths = la + lb
+        Rn = M
+        C = C2
+        max_bits *= 2
+        level += 1
+        if use_soft and level < len(caps) and caps[level] < C:
+            c = _round_up(caps[level], 8)                   # sublane align
+            if c < C:
+                overflow = overflow | jnp.any(lengths > c * 32 - 31)
+                state = state[:, :c, :]
+                C = c
+
+    # ---- transition: 128 lane-trees -> rows (L, C128) -------------------
+    C128 = _round_up(C, 128)
+    s2 = state.reshape(C, L)
+    if C128 > C:  # sublane-aligned pad before the transpose
+        s2 = jnp.concatenate(
+            [s2, jnp.zeros((C128 - C, L), _U32)], axis=0
+        )
+    rows = s2.T                                             # (L, C128)
+    C = C128
+    lp = jnp.broadcast_to(lengths.reshape(L, 1), (L, L))    # lengths plane
+
+    # ---- phase 2: merge along the sublane node axis ---------------------
+    # No concats: reshaping (Pn, C) -> (Pn/2, 2C) makes each pair one
+    # doubled row with A at words [0, C) and B at [C, 2C); B then shifts
+    # DOWN by C*32 - la bits (roll + mask), and A | B_shifted merges.
+    def roll_down(x, step, axis):
+        rolled = jnp.roll(x, -step, axis=axis)
+        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
+        return jnp.where(idx < x.shape[axis] - step, rolled, _U32(0))
+
+    Pn = L
+    while Pn > 1:
+        M = Pn // 2
+        C2 = 2 * C
+        rows2 = rows.reshape(M, C2)
+        lane = jax.lax.broadcasted_iota(_I32, (M, C2), 1)
+        A2 = jnp.where(lane < C, rows2, _U32(0))
+        B2 = jnp.where(lane >= C, rows2, _U32(0))
+        lp3 = lp.reshape(M, 2, L)
+        la_p = lp3[:, 0, :]                                 # (M, L)
+        lb_p = lp3[:, 1, :]
+        la = la_p[:, :1].astype(_I32)                       # (M, 1)
+        d = C * 32 - la                                     # down-shift bits
+        k = (d >> 5).astype(_U32)
+        step = 1
+        j = 0
+        while step <= C and step < C2:
+            bit = ((k >> j) & 1).astype(bool)
+            B2 = jnp.where(bit, roll_down(B2, step, 1), B2)
+            step *= 2
+            j += 1
+        s = (d & 31).astype(_U32)
+        nxtw = roll_down(B2, 1, 1)
+        B2 = (B2 >> s) | ((nxtw << (_U32(31) - s)) << _U32(1))
+        rows = A2 | B2
+        lp = la_p + lb_p
+        Pn = M
+        C = C2
+        max_bits *= 2
+        level += 1
+        if use_soft and level < len(caps) and caps[level] < C:
+            c = _round_up(caps[level], 128)                 # lane align
+            if c < C:
+                overflow = overflow | jnp.any(lp[:, :1] > c * 32 - 31)
+                rows = rows[:, :c]
+                C = c
+
+    words2 = rows[:1, :]                                    # (1, C_final)
+    ow_pad = words_ref.shape[-1]
+    if ow_pad <= words2.shape[1]:
+        words2 = words2[:, :ow_pad]
+    else:
+        words2 = jnp.concatenate(
+            [words2, jnp.zeros((1, ow_pad - words2.shape[1]), _U32)],
+            axis=1,
+        )
+    words_ref[0, :, :] = words2
+    f = pl.program_id(0)
+    bits_ref[f, 0] = lp[0, 0]
+    maxw_ref[f, 0] = jnp.max(width)
+    over_ref[f, 0] = overflow.astype(_I32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
+                        interpret: bool = False):
+    """Pallas encode of a (F, n_padded) batch.
+
+    Returns (words (F, out_words), bits (F,), maxw (F,), over (F,)) —
+    the same contract as ops.coding.encode_batch_device.
+    """
+    F = frames.shape[0]
+    B = spec.block
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    # host-side (XLA) layout transform: one fused pass, fine in HBM.
+    # flat value v = B*b + j with b = r + R*l  ->  [f, j, r, l]
+    if frames.shape[1] < P * B:
+        pad = jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)
+        frames = jnp.concatenate([frames, pad], axis=1)
+    elif frames.shape[1] > P * B:  # caller over-padded; tail is zeros
+        frames = frames[:, : P * B]
+    x = frames.reshape(F, L, R, B).transpose(0, 3, 2, 1)   # (F, B, R, L)
+    out_words = spec.out_words
+    ow_pad = _round_up(out_words, 128)
+
+    kernel = functools.partial(_kernel, spec)
+    words, bits, maxw, over = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 1), lambda f: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 1), lambda f: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 1), lambda f: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((F, 1), jnp.int32),
+            jax.ShapeDtypeStruct((F, 1), jnp.int32),
+            jax.ShapeDtypeStruct((F, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(x)
+    return (words.reshape(F, ow_pad)[:, :out_words],
+            bits[:, 0], maxw[:, 0], over[:, 0])
+
+
+def encode(
+    frames: np.ndarray,
+    block: int = 12,
+    dimensions: tuple[int, ...] = (),
+    cap_ratio: float = 0.5,
+    interpret: bool = False,
+):
+    """Host wrapper mirroring ops.coding.encode but on the Pallas kernel."""
+    from .coding import assemble_archive
+
+    frames = np.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    elif frames.ndim == 3:
+        if not dimensions:
+            dimensions = (frames.shape[2], frames.shape[1])
+        frames = frames.reshape(frames.shape[0], -1)
+    F, n = frames.shape
+    spec = FrameSpec.for_dtype(n, frames.dtype, block, cap_ratio=cap_ratio)
+    padded = np.zeros((F, spec.tree_rows * spec.block), dtype=frames.dtype)
+    padded[:, :n] = frames
+    words, bits, maxw, over = jax.device_get(
+        encode_batch_pallas(spec, padded, interpret)
+    )
+    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+        spec = spec.with_ratio(1.0)
+        words, bits, maxw, over = jax.device_get(
+            encode_batch_pallas(spec, padded, interpret)
+        )
+    return assemble_archive(spec, words, bits, maxw, dimensions)
