@@ -7,10 +7,15 @@ vs_baseline is relative to the measured reference encoder throughput
 Methodology: frames are synthesized ON DEVICE (Poisson background + hot
 pixels, the BASELINE.md workload, ~0.21 compression ratio) so the
 measurement isolates the encode kernel from host↔device transfer (the
-dev box reaches the TPU through a network tunnel; a production v5p host
-feeds local HBM). Each rep gets distinct data (fresh PRNG fold) and is
-synchronized individually; the median rep time is reported. GB/s of raw
-input and % of HBM speed-of-light go to stderr.
+dev box reaches the TPU through a network tunnel; a production host
+feeds local HBM). Because the tunnel's ``block_until_ready`` is not a
+reliable barrier, each rep materializes a scalar checksum of the
+outputs (forcing a device round trip) and the measured round-trip
+latency of a null op is subtracted; the median of several reps is
+reported.
+
+The encode runs the Pallas VMEM kernel (ops/pallas_pack.py), falling
+back to the jnp merge tree if the kernel is unavailable on the backend.
 
 Run on real hardware: ``python bench.py [n_frames] [reps]``.
 """
@@ -39,78 +44,78 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from trpx_tpu.ops.coding import FrameSpec, encode_frame_device
+    from trpx_tpu.ops.coding import FrameSpec, encode_batch_device
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "?")
     print(f"device: {dev.platform} {kind}", file=sys.stderr)
 
-    F = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    F = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     h = w = 512
     n = h * w
     spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.5)
 
-    @jax.jit
-    def synth(key):
-        """On-device synthetic diffraction batch (Poisson λ=3 + hot pixels)."""
-        k1, k2, k3 = jax.random.split(key, 3)
-        frames = jax.random.poisson(k1, 3.0, (F, spec.n_padded)).astype(
-            jnp.uint16
-        )
-        # zero the padding lanes, then scatter ~200 hot pixels per frame
-        lane = jnp.arange(spec.n_padded) < n
-        frames = jnp.where(lane[None, :], frames, 0)
-        idx = jax.random.randint(k2, (F, 200), 0, n)
-        hot = jax.random.randint(k3, (F, 200), 30000, 61000).astype(jnp.uint16)
-        frames = jax.vmap(lambda fr, ix, hv: fr.at[ix].set(hv))(
-            frames, idx, hot
-        )
-        return frames
-
-    @jax.jit
-    def step(frames):
-        return jax.vmap(lambda f: encode_frame_device(spec, f))(frames)[:3]
-
     key = jax.random.PRNGKey(0)
-    batches = [synth(jax.random.fold_in(key, i)) for i in range(3)]
-    jax.block_until_ready(batches)
+    n_full = spec.tree_rows * spec.block
+    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
+    lane = jnp.arange(n_full)[None, :]
+    x = jnp.where(lane < n, x, 0)
+    # ~200 hot pixels per frame, scattered via a cheap deterministic mask
+    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
+           < 200.0 / n)
+    x = jnp.where(hot & (lane < n), jnp.uint16(60000), x)
+    jax.block_until_ready(x)
 
-    # warm-up / compile
-    jax.block_until_ready(step(batches[0]))
+    kernel_name = "pallas-vmem"
+    try:
+        from trpx_tpu.ops.pallas_pack import encode_batch_pallas
 
-    times = []
-    for i in range(reps):
-        x = batches[i % len(batches)]
+        @jax.jit
+        def step_sum(fr):
+            words, bits, maxw, over = encode_batch_pallas(spec, fr)
+            return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
+                    + jnp.uint32(over.sum()))
+
+        int(step_sum(x))  # compile + smoke
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"pallas kernel unavailable ({type(e).__name__}); "
+              "falling back to jnp tree", file=sys.stderr)
+        kernel_name = "jnp-tree"
+
+        @jax.jit
+        def step_sum(fr):
+            words, bits, maxw, over = encode_batch_device(spec, fr)
+            return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
+                    + jnp.uint32(over.sum()))
+
+        int(step_sum(x))
+
+    @jax.jit
+    def null(fr):
+        return jnp.uint32(fr[0, 0])
+
+    int(null(x))
+    rtt = statistics.median(
+        (lambda t0: (int(null(x)), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(reps)
+    )
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = step(x)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t_med = statistics.median(times)
-    fps = F / t_med
-    raw_gbs = F * n * 2 / t_med / 1e9
+        int(step_sum(x))
+        ts.append(time.perf_counter() - t0)
+    t = max(statistics.median(ts) - rtt, 1e-9)
+    fps = F / t
+    raw_gbs = F * n * 2 / t / 1e9
     sol = HBM_GBS.get(kind)
     sol_txt = f", {100 * raw_gbs / sol:.1f}% of HBM SoL ingest" if sol else ""
     print(
-        f"device encode: {fps:,.0f} frames/s "
-        f"({raw_gbs:.1f} GB/s raw in{sol_txt}); "
-        f"rep times ms: {[round(t * 1e3, 2) for t in times]}",
-        file=sys.stderr,
-    )
-
-    # end-to-end archive build (incl. device->host transfer + assembly);
-    # informational: the tunnel makes transfer non-representative
-    from trpx_tpu import ops
-
-    words, bits, maxw = jax.device_get(out)
-    t0 = time.perf_counter()
-    archive = ops.assemble_archive(spec, np.ascontiguousarray(words),
-                                   bits, maxw)
-    t_asm = time.perf_counter() - t0
-    ratio = archive.meta.memory_size / (F * n * 2)
-    print(
-        f"host assembly: {F / t_asm:,.0f} frames/s "
-        f"(compression {ratio:.3f})",
+        f"[{kernel_name}] encode: {fps:,.0f} frames/s "
+        f"({raw_gbs:.1f} GB/s raw in{sol_txt}); rtt {rtt * 1e3:.1f}ms; "
+        f"rep ms {[round(v * 1e3, 1) for v in ts]}",
         file=sys.stderr,
     )
 
