@@ -284,8 +284,56 @@ def main(argv=None) -> int:
     info = sub.add_parser("info", help="print .trpx header metadata")
     info.add_argument("files", nargs="+")
     info.set_defaults(fn=_info_files)
+    bench = sub.add_parser(
+        "bench", help="measure codec throughput on this machine's devices"
+    )
+    bench.add_argument("--frames", type=int, default=64)
+    bench.add_argument("--size", type=int, default=512,
+                       help="square frame edge (default 512)")
+    bench.add_argument("--profile", type=str, default=None, metavar="DIR",
+                       help="write a jax.profiler trace to DIR")
+    bench.set_defaults(fn=_bench)
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def _bench(args) -> int:
+    """Structured throughput report (runtime.metrics.RunReport)."""
+    import jax
+
+    from .. import api
+    from ..runtime.metrics import RunReport, StageTimer, profiler_trace
+
+    _configure_jax()
+    rng = np.random.default_rng(0)
+    h = w = args.size
+    frames = rng.poisson(3.0, size=(args.frames, h, w)).astype(np.uint16)
+    frames.reshape(args.frames, -1)[
+        rng.integers(0, args.frames, 200 * args.frames),
+        rng.integers(0, h * w, 200 * args.frames),
+    ] = 60000
+    api.compress(frames[:1])  # warm the compile cache
+
+    dev = jax.devices()[0]
+    t = StageTimer()
+    with profiler_trace(args.profile):
+        with t.stage("encode"):
+            archive = api.compress(frames)
+        with t.stage("decode"):
+            out = api.decompress(archive)
+    assert np.array_equal(out.reshape(frames.shape), frames)
+    report = RunReport(
+        operation="encode+decode",
+        frames=args.frames,
+        raw_bytes=frames.nbytes,
+        compressed_bytes=archive.meta.memory_size,
+        device_kind=getattr(dev, "device_kind", ""),
+        n_devices=1,
+        stage_seconds=t.seconds,
+    )
+    print(report.summary())
+    print(report.to_json())
+    return 0
 
 
 if __name__ == "__main__":

@@ -269,18 +269,30 @@ def encode(
         raise ValueError("frames must be 1-D, 2-D (batch) or 3-D (image stack)")
     F, n = frames.shape
     spec = FrameSpec.for_dtype(n, frames.dtype, block, cap_ratio=cap_ratio)
+    run = _best_encoder()
     padded = _pad_batch(frames, spec)
-    words, bits, maxw, over = jax.device_get(
-        encode_batch_device(spec, padded)
-    )
+    words, bits, maxw, over = jax.device_get(run(spec, padded))
     if spec.cap_ratio < 1.0 and bool(np.any(over)):
         # optimistic capacities overflowed (incompressible data):
         # re-encode with the guaranteed worst-case kernel
         spec = spec.with_ratio(1.0)
-        words, bits, maxw, over = jax.device_get(
-            encode_batch_device(spec, padded)
-        )
+        words, bits, maxw, over = jax.device_get(run(spec, padded))
     return assemble_archive(spec, words, bits, maxw, dimensions)
+
+
+def _best_encoder():
+    """Pick the encode implementation for the default backend: the Pallas
+    VMEM kernel on TPU (3.4x the jnp tree, see bench.py), the jnp merge
+    tree elsewhere (CPU tests run the Pallas kernel separately in
+    interpreter mode)."""
+    try:
+        if jax.default_backend() == "tpu":
+            from .pallas_pack import encode_batch_pallas
+
+            return encode_batch_pallas
+    except Exception:
+        pass
+    return encode_batch_device
 
 
 def assemble_archive(
@@ -456,6 +468,20 @@ def walk_archive(
     return widths, poffs, words
 
 
+def _best_decoder():
+    """Pallas split-tree kernel on TPU, the jnp split tree elsewhere."""
+    try:
+        if jax.default_backend() == "tpu":
+            from .pallas_unpack import decode_batch_pallas
+
+            return lambda spec, words, widths, poffs: decode_batch_pallas(
+                spec, jnp.asarray(words), jnp.asarray(widths)
+            )
+    except Exception:
+        pass
+    return decode_batch_device
+
+
 def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     """Host wrapper: header walk (serial, host) + parallel device unpack.
     Returns (F, n) array of ``dtype``."""
@@ -463,8 +489,9 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     widths, poffs, words = walk_archive(archive, spec)
+    run = _best_decoder()
     vals = np.asarray(
-        jax.device_get(decode_batch_device(spec, words, widths, poffs))
+        jax.device_get(run(spec, words, widths, poffs))
     )[:, : meta.number_of_values]
     if dtype == np.uint32:
         return vals.view(np.uint32)

@@ -1,0 +1,289 @@
+"""Pallas TPU decode kernel: the whole split tree in VMEM.
+
+Inverse of ops/pallas_pack.py with the same Mosaic-proven layout:
+
+  * inputs: the frame's word stream plus the per-block width table from
+    the (native C++) header walk, host-arranged as (R, L) planes over
+    128 lane-local trees (block b = r + R*l);
+  * node bit-lengths for every level are computed bottom-up from the
+    per-block lengths (pure pairwise-sum reshapes), then the stream is
+    split top-down: phase 2 splits row pairs via the reshape-pair trick
+    (B shifts UP from bit ``la`` to the C-word boundary, roll + mask);
+    phase 1 splits along the outer node axis;
+  * per-value extraction is a static masked-select loop over the row's
+    words; sign extension matches Bit_pointer.hpp:597-617.
+
+Output: (B, R, L) int32 value planes, rearranged host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .coding import FrameSpec
+from .pack import row_capacity
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(spec: FrameSpec, w_pad: int, words_ref, widths_ref, out_ref):
+    B = spec.block
+    P = spec.tree_rows
+    nb = spec.nb
+    cap = _round_up(row_capacity(spec.max_block_bits), 8)
+    L = min(128, P)
+    R = P // L
+
+    width = widths_ref[0]                                   # (R, L) int32
+    r_iota = jax.lax.broadcasted_iota(_I32, (R, L), 0)
+    l_iota = jax.lax.broadcasted_iota(_I32, (R, L), 1)
+    bidx = r_iota + R * l_iota
+    real = bidx < nb
+    counts = jnp.clip(spec.n - bidx * B, 0, B)
+    # header bits from width repeats (Terse.hpp:517-535); lane wrap at r=0
+    top = jnp.roll(width[R - 1 : R], 1, axis=1)
+    top = jnp.where(l_iota[:1] == 0, _I32(0), top)
+    if R > 1:
+        prev = jnp.concatenate([top, width[:-1]], axis=0)
+    else:
+        prev = top
+    repeat = (width == prev) & real
+    hb = jnp.where(
+        repeat, 1, jnp.where(width < 7, 4, jnp.where(width < 10, 6, 12))
+    ).astype(_I32)
+    hb = jnp.where(real, hb, _I32(0))
+    block_bits = (hb + width * counts).astype(_I32)         # (R, L)
+
+    # ---- bottom-up: left-child lengths for every level ------------------
+    # phase-1 levels (outer axis), then phase-2 levels (lane-tree axis)
+    la_p1 = []
+    lengths = block_bits
+    Rn = R
+    while Rn > 1:
+        M = Rn // 2
+        l3 = lengths.reshape(M, 2, L)
+        la = l3[:, 0, :]
+        lb = l3[:, 1, :]
+        la_p1.append(la)
+        lengths = la + lb
+        Rn = M
+    la_p2 = []
+    lp = jnp.broadcast_to(lengths.reshape(L, 1), (L, L))
+    Pn = L
+    while Pn > 1:
+        M = Pn // 2
+        lp3 = lp.reshape(M, 2, L)
+        la_p2.append(lp3[:, 0, :])
+        lp = lp3[:, 0, :] + lp3[:, 1, :]
+        Pn = M
+
+    def roll_up(x, step, axis):
+        rolled = jnp.roll(x, step, axis=axis)
+        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
+        return jnp.where(idx >= step, rolled, _U32(0))
+
+    def roll_down(x, step, axis):
+        if step >= x.shape[axis]:  # full shift-out: everything is zero
+            return jnp.zeros_like(x)
+        rolled = jnp.roll(x, -step, axis=axis)
+        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
+        return jnp.where(idx < x.shape[axis] - step, rolled, _U32(0))
+
+    mbb = spec.max_block_bits
+
+    # ---- phase 2 inverse: top-down row-pair splits ----------------------
+    # Child capacity is the worst case for its block count, clamped at the
+    # parent (streams are size-bucketed, so capacities don't just halve).
+    rows = words_ref[0]                                     # (1, w_pad)
+    C = w_pad
+    Pn = 1
+    for la_p in reversed(la_p2):
+        M = Pn
+        child_blocks = P // (2 * M)
+        Cc = min(_round_up(-(-(child_blocks * mbb + 31) // 32), 128), C)
+        la = la_p[:M, :1].astype(_I32)                      # (M, 1)
+        lane = jax.lax.broadcasted_iota(_I32, (M, C), 1)
+        la_w = la >> 5
+        amask = jnp.where(
+            lane < la_w,
+            jnp.uint32(0xFFFFFFFF),
+            jnp.where(
+                lane == la_w,
+                (_U32(1) << (la & 31).astype(_U32)) - _U32(1),
+                _U32(0),
+            ),
+        )
+        A = (rows & amask)[:, :Cc]
+        # B: shift down by la to bit 0, keep the first Cc words
+        k = (la >> 5).astype(_U32)
+        Bp = rows
+        step = 1
+        while step <= C:
+            bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
+            Bp = jnp.where(bit, roll_down(Bp, step, 1), Bp)
+            step *= 2
+        s = (la & 31).astype(_U32)
+        nxtw = roll_down(Bp, 1, 1)
+        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Cc]
+        rows = jnp.concatenate(
+            [A[:, None, None, :], Bp[:, None, None, :]], axis=1
+        ).reshape(2 * M, Cc)
+        Pn = 2 * M
+        C = Cc
+
+    # rows: (L, C) — transpose into lane-tree planes (C, L) -> (1, C, L)
+    state = rows.T[None]                                    # (1, C, L)
+
+    # ---- phase 1 inverse: top-down outer-axis splits --------------------
+    Rn = 1
+    for la in reversed(la_p1):
+        M = Rn
+        child_blocks = R // (2 * M)
+        Cc = min(_round_up(-(-(child_blocks * mbb + 31) // 32), 8), C)
+        la3 = la[:, None, :].astype(_I32)                   # (M, 1, L)
+        widx = jax.lax.broadcasted_iota(_I32, (M, C, L), 1)
+        la_w = la3 >> 5
+        amask = jnp.where(
+            widx < la_w,
+            jnp.uint32(0xFFFFFFFF),
+            jnp.where(
+                widx == la_w,
+                (_U32(1) << (la3 & 31).astype(_U32)) - _U32(1),
+                _U32(0),
+            ),
+        )
+        A = (state & amask)[:, :Cc, :]
+        # B: shift down by la to bit 0, keep the first Cc words
+        k = (la3[:, :1, :] >> 5).astype(_U32)
+        Bp = state
+        step = 1
+        while step <= C:
+            bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
+            Bp = jnp.where(bit, roll_down(Bp, step, 1), Bp)
+            step *= 2
+        s = (la3 & 31).astype(_U32)
+        nxtw = roll_down(Bp, 1, 1)
+        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Cc, :]
+        state = jnp.concatenate(
+            [A[:, None], Bp[:, None]], axis=1
+        ).reshape(2 * M, Cc, L)
+        Rn = 2 * M
+        C = Cc
+
+    # pad rows to the staging capacity so extraction can't run off the end
+    if C < cap + 2:
+        state = jnp.concatenate(
+            [state, jnp.zeros((R, cap + 2 - C, L), _U32)], axis=1
+        )
+
+    # ---- per-value extraction ------------------------------------------
+    wmask = jnp.where(
+        width >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (_U32(1) << jnp.clip(width, 0, 31).astype(_U32)) - _U32(1),
+    )
+    max_w = (cap * 32 - 12) // B
+    for j in range(B):
+        off = hb + j * width                                # (R, L)
+        word_idx = off >> 5
+        bit_idx = (off & 31).astype(_U32)
+        u = jnp.zeros((R, L), _U32)
+        i_lo = (1 + j) >> 5
+        i_hi = min(cap - 1, ((12 + (j + 1) * max_w) >> 5) + 1)
+        for i in range(i_lo, i_hi + 1):
+            cur = state[:, i, :]
+            nxt = state[:, i + 1, :]
+            win = (cur >> bit_idx) | (
+                (nxt << (_U32(31) - bit_idx)) << _U32(1)
+            )
+            u = jnp.where(word_idx == i, win, u)
+        u = u & wmask
+        if spec.signed:
+            topb = jnp.where(
+                width > 0,
+                (u >> jnp.clip(width - 1, 0, 31).astype(_U32)) & _U32(1),
+                _U32(0),
+            )
+            ext = jnp.where((width < 32) & (topb == 1), ~wmask, _U32(0))
+            u = u | ext
+        out_ref[0, j] = jax.lax.bitcast_convert_type(u, _I32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
+                        widths: jax.Array, interpret: bool = False):
+    """Pallas decode of a batch.
+
+    words:  (F, W) uint32 — per-frame streams (walk_archive buckets W)
+    widths: (F, nb) int32 — per-block widths from the header walk
+    Returns (F, n_padded) int32 values (sign-extended iff spec.signed).
+    """
+    F, W = words.shape
+    B = spec.block
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    w_pad = _round_up(max(W, 128), 128)
+    if w_pad > W:
+        words = jnp.concatenate(
+            [words, jnp.zeros((F, w_pad - W), jnp.uint32)], axis=1
+        )
+    widths_p = widths
+    if widths.shape[1] < P:
+        widths_p = jnp.concatenate(
+            [widths, jnp.zeros((F, P - widths.shape[1]), jnp.int32)],
+            axis=1,
+        )
+    # (F, nb->P) -> (F, R, L) planes with [r, l] = block r + R*l
+    wplanes = widths_p.reshape(F, L, R).transpose(0, 2, 1)
+
+    kernel = functools.partial(_kernel, spec, w_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, 1, w_pad), lambda f: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, L), lambda f: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, B, R, L), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(words[:, None, :], wplanes)
+    # [f, j, r, l] -> value index 12*(r + R*l) + j
+    return out.transpose(0, 3, 2, 1).reshape(F, P * B)[:, : spec.n_padded]
+
+
+def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
+    """Host wrapper: native header walk + Pallas unpack -> (F, n)."""
+    from .coding import walk_archive
+
+    dtype = np.dtype(dtype)
+    meta = archive.meta
+    spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
+    widths, _poffs, words = walk_archive(archive, spec)
+    vals = np.asarray(
+        jax.device_get(
+            decode_batch_pallas(spec, jnp.asarray(words),
+                                jnp.asarray(widths), interpret)
+        )
+    )[:, : meta.number_of_values]
+    if dtype == np.uint32:
+        return vals.view(np.uint32)
+    return vals.astype(dtype)

@@ -66,10 +66,12 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
     total_bytes scalar, prolix_bits scalar) — the last three replicated.
     """
 
+    from ..ops.coding import _best_encoder
+
+    encoder = _best_encoder()  # Pallas VMEM kernel on TPU, jnp tree on CPU
+
     def local_encode(frames_local):
-        words, bits, maxw, over = jax.vmap(
-            lambda f: encode_frame_device(spec, f)
-        )(frames_local)
+        words, bits, maxw, over = encoder(spec, frames_local)
         nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
         # the one collective: all-gather the per-frame size table; every
         # device then holds the replicated global table, from which the

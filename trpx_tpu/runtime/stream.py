@@ -115,8 +115,9 @@ class StreamingEncoder:
         """Encode one chunk of (F, nvalues) frames and append the payload."""
         import jax
 
-        from ..ops.coding import encode_batch_device
+        from ..ops.coding import _best_encoder
 
+        run = _best_encoder()
         frames = np.asarray(frames)
         if frames.ndim == 3:
             frames = frames.reshape(frames.shape[0], -1)
@@ -126,14 +127,10 @@ class StreamingEncoder:
         padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
         padded[:, : self.spec.n] = frames
         spec = self.spec
-        words, bits, maxw, over = jax.device_get(
-            encode_batch_device(spec, padded)
-        )
+        words, bits, maxw, over = jax.device_get(run(spec, padded))
         if spec.cap_ratio < 1.0 and bool(np.any(over)):
             spec = spec.with_ratio(1.0)
-            words, bits, maxw, over = jax.device_get(
-                encode_batch_device(spec, padded)
-            )
+            words, bits, maxw, over = jax.device_get(run(spec, padded))
         words = np.ascontiguousarray(words)
         byte_view = words.view(np.uint8).reshape(F, -1)
         with open(self.part, "r+b") as f:
