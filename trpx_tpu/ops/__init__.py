@@ -1,4 +1,9 @@
-"""Device compute path: vectorized JAX encode/decode (+ Pallas kernels)."""
+"""Device compute path: Pallas VMEM kernels + the jnp merge/split trees.
+
+``encode``/``decode`` pick the Pallas kernels on TPU and the jnp trees on
+other backends automatically; ``pallas_pack``/``pallas_unpack`` expose the
+kernels directly (with ``interpret=True`` for CPU testing).
+"""
 
 from .coding import (
     FrameSpec,
@@ -18,4 +23,6 @@ __all__ = [
     "encode",
     "encode_batch_device",
     "plan_frame",
+    "pallas_pack",
+    "pallas_unpack",
 ]

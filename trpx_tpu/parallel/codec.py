@@ -250,10 +250,12 @@ class ShardedCodec:
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _decode_sharded_jit(spec, mesh, words, widths, poffs):
+    from ..ops.coding import _best_decoder
+
+    decoder = _best_decoder()  # Pallas split tree on TPU, jnp on CPU
+
     def local(words_l, widths_l, poffs_l):
-        return jax.vmap(
-            lambda w, wd, po: decode_frame_device(spec, w, wd, po)
-        )(words_l, widths_l, poffs_l)
+        return decoder(spec, words_l, widths_l, poffs_l)
 
     return shard_map(
         local,
