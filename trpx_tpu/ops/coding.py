@@ -109,6 +109,22 @@ class FrameSpec:
         """Words in the encode output buffer (soft-capped final row)."""
         return min(self.n_words, self.pack_caps[-1] + 2)
 
+    @property
+    def pallas_ok(self) -> bool:
+        """True if the whole-frame VMEM merge tree fits on-chip.
+
+        The kernel's working set is ~2 copies of the (P, cap, 128) state
+        plus the input values; beyond ~1M values (u16) the tree outgrows
+        VMEM (~128 MB on v5e) and the jnp path takes over. 2K×2K and
+        4K×4K frames therefore run the HBM tree until a tiled kernel
+        lands."""
+        from .pack import row_capacity
+
+        cap8 = -(-row_capacity(self.max_block_bits) // 8) * 8
+        state = self.tree_rows * cap8 * 4 * 2
+        inp = self.tree_rows * self.block * 4
+        return state + inp < 80 * 1024 * 1024
+
     def with_ratio(self, ratio: float) -> "FrameSpec":
         from dataclasses import replace
 
@@ -232,10 +248,20 @@ def encode_batch_device(spec: FrameSpec, frames: jax.Array):
     return jax.vmap(lambda f: encode_frame_device(spec, f))(frames)
 
 
-def _pad_batch(frames: np.ndarray, spec: FrameSpec) -> np.ndarray:
+def _pad_batch(frames: np.ndarray, spec: FrameSpec,
+               bucket: bool = True) -> np.ndarray:
+    """Zero-pad values to the block grid and (optionally) the frame count
+    to the next power of two — per-frame outputs are independent, so the
+    callers simply ignore the padding frames, and jit recompiles are
+    bounded to log2 batch-shape buckets."""
     F = frames.shape[0]
-    out = np.zeros((F, spec.n_padded), dtype=frames.dtype)
-    out[:, : spec.n] = frames
+    Fp = F
+    if bucket:
+        Fp = 1
+        while Fp < F:
+            Fp *= 2
+    out = np.zeros((Fp, spec.n_padded), dtype=frames.dtype)
+    out[:F, : spec.n] = frames
     return out
 
 
@@ -272,24 +298,29 @@ def encode(
     run = _best_encoder()
     padded = _pad_batch(frames, spec)
     words, bits, maxw, over = jax.device_get(run(spec, padded))
-    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+    if spec.cap_ratio < 1.0 and bool(np.any(over[:F])):
         # optimistic capacities overflowed (incompressible data):
         # re-encode with the guaranteed worst-case kernel
         spec = spec.with_ratio(1.0)
         words, bits, maxw, over = jax.device_get(run(spec, padded))
-    return assemble_archive(spec, words, bits, maxw, dimensions)
+    return assemble_archive(spec, words[:F], bits[:F], maxw[:F], dimensions)
 
 
 def _best_encoder():
     """Pick the encode implementation for the default backend: the Pallas
     VMEM kernel on TPU (3.4x the jnp tree, see bench.py), the jnp merge
     tree elsewhere (CPU tests run the Pallas kernel separately in
-    interpreter mode)."""
+    interpreter mode) and for frames too large for the VMEM tree."""
     try:
         if jax.default_backend() == "tpu":
             from .pallas_pack import encode_batch_pallas
 
-            return encode_batch_pallas
+            def run(spec, frames):
+                if spec.pallas_ok:
+                    return encode_batch_pallas(spec, frames)
+                return encode_batch_device(spec, frames)
+
+            return run
     except Exception:
         pass
     return encode_batch_device
@@ -469,14 +500,20 @@ def walk_archive(
 
 
 def _best_decoder():
-    """Pallas split-tree kernel on TPU, the jnp split tree elsewhere."""
+    """Pallas split-tree kernel on TPU (when the frame fits VMEM), the
+    jnp split tree elsewhere."""
     try:
         if jax.default_backend() == "tpu":
             from .pallas_unpack import decode_batch_pallas
 
-            return lambda spec, words, widths, poffs: decode_batch_pallas(
-                spec, jnp.asarray(words), jnp.asarray(widths)
-            )
+            def run(spec, words, widths, poffs):
+                if spec.pallas_ok:
+                    return decode_batch_pallas(
+                        spec, jnp.asarray(words), jnp.asarray(widths)
+                    )
+                return decode_batch_device(spec, words, widths, poffs)
+
+            return run
     except Exception:
         pass
     return decode_batch_device
@@ -488,11 +525,15 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     dtype = np.dtype(dtype)
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
-    widths, poffs, words = walk_archive(archive, spec)
+    F = meta.number_of_frames
+    Fp = 1
+    while Fp < F:  # bucket the batch shape (bounds jit recompiles)
+        Fp *= 2
+    widths, poffs, words = walk_archive(archive, spec, pad_frames_to=Fp)
     run = _best_decoder()
     vals = np.asarray(
         jax.device_get(run(spec, words, widths, poffs))
-    )[:, : meta.number_of_values]
+    )[:F, : meta.number_of_values]
     if dtype == np.uint32:
         return vals.view(np.uint32)
     return vals.astype(dtype)
