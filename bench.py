@@ -41,8 +41,20 @@ HBM_GBS = {
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA cache: repeated bench runs skip the multi-minute
+    # TPU compile of the kernels
+    cache = os.path.expanduser("~/.cache/trpx_tpu/jax")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from trpx_tpu.ops.coding import FrameSpec, encode_batch_device
 
