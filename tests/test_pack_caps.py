@@ -14,8 +14,10 @@ def test_capacity_schedule_shapes():
     caps = capacity_schedule(32768, 8, 204, 0.5)
     assert len(caps) == 16
     assert caps[0] == 8
-    # early levels full, later levels roughly halved
-    assert caps[3] < 8 * 8
+    # small nodes keep generous slack (clustered hot pixels must fit);
+    # large nodes converge to the ratio
+    assert caps[3] <= 8 * 8
+    assert caps[8] < 8 * 256 * 0.7
     assert caps[-1] < 8 * 32768 * 0.6
     full = capacity_schedule(32768, 8, 204, 1.0)
     assert full[-1] == 8 * 32768

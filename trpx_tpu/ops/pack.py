@@ -151,12 +151,16 @@ def capacity_schedule(
     caps = []
     C = cap0
     blocks = 1
+    # additive slack: room for several fully-wide blocks in ONE node, so
+    # clustered hot pixels don't overflow small nodes (negligible vs the
+    # ratio term at large nodes)
+    slack_words = 6 * (-(-max_block_bits // 32)) + cap0
     while blocks <= P:
         if ratio >= 1.0 or blocks < 8:
             cap = min(C, cap0 * max(blocks, 1))
         else:
-            need = int(blocks * max_block_bits * ratio) + 32 * cap0
-            cap = min(cap0 * blocks, -(-need // 32))
+            need_words = -(-int(blocks * max_block_bits * ratio) // 32)
+            cap = min(cap0 * blocks, need_words + slack_words)
         caps.append(max(cap, 1))
         blocks *= 2
         C *= 2
