@@ -23,14 +23,19 @@ from .spec import DEFAULT_BLOCK, frame_nbytes, significant_bits
 
 @dataclass
 class TrpxArchive:
-    """In-memory form of a ``.trpx`` file: metadata + raw bitstream bytes."""
+    """In-memory form of a ``.trpx`` file: metadata + raw bitstream bytes.
+
+    ``frame_index``: optional absolute byte offset of every frame within
+    the payload (F entries). NOT part of the normative format — it comes
+    from an optional ``.trpx.idx`` sidecar (io/trpx.py) or from having
+    encoded the archive ourselves, and lets the decode prepass walk all
+    frames in parallel instead of chaining through them.
+    """
 
     meta: TrpxMeta
     payload: bytes
+    frame_index: object = None  # np.ndarray (F,) int64 or None
 
-    # Absolute byte offset of each frame within payload (computed lazily on
-    # decode; the file format does not store these — Terse.hpp stores only
-    # per-decode cached offsets, buggily: SURVEY B2).
     def to_bytes(self) -> bytes:
         return emit_header(self.meta) + self.payload
 

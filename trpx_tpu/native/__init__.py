@@ -55,7 +55,8 @@ def _build() -> Path | None:
             tmp_path = Path(tmp.name)
         cmd = [
             os.environ.get("CXX", "g++"), "-std=c++20", "-O3", "-shared",
-            "-fPIC", "-march=native", str(_SRC), "-o", str(tmp_path),
+            "-fPIC", "-march=native", "-fopenmp", str(_SRC), "-o",
+            str(tmp_path),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp_path, so)  # atomic: concurrent builders race safely
@@ -81,6 +82,11 @@ def _load() -> ctypes.CDLL | None:
         lib.trpx_walk.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, c_i32p, c_i64p, c_i64p,
+        ]
+        lib.trpx_walk_indexed.restype = ctypes.c_int
+        lib.trpx_walk_indexed.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, c_i64p, c_i32p, c_i64p,
         ]
         lib.trpx_encode_frames.restype = ctypes.c_int64
         lib.trpx_encode_frames.argtypes = [
@@ -135,6 +141,32 @@ def walk(payload: bytes, nframes: int, nvalues: int, block: int):
     if rc != 0:
         raise ValueError("malformed TRPX payload: header walk ran past end")
     return widths, poffs, fstarts
+
+
+def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
+                 block: int):
+    """Parallel header walk given known per-frame byte offsets (OpenMP).
+
+    Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit
+    offsets). Raises ValueError on a malformed stream.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    fstarts = np.ascontiguousarray(fstarts, dtype=np.int64)
+    nframes = fstarts.shape[0]
+    nb = -(-nvalues // block)
+    buf = _padded_payload(payload)
+    widths = np.empty((nframes, nb), dtype=np.int32)
+    poffs = np.empty((nframes, nb), dtype=np.int64)
+    rc = lib.trpx_walk_indexed(
+        _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
+        _ptr(fstarts, ctypes.c_int64),
+        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("malformed TRPX payload: indexed walk ran past end")
+    return widths, poffs
 
 
 def encode_frames(frames: np.ndarray, block: int, signed: bool):

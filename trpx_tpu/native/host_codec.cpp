@@ -125,6 +125,40 @@ int trpx_walk(const uint8_t* payload, int64_t payload_len,
     return 0;
 }
 
+// Walk frames whose byte offsets are ALREADY KNOWN (from a sidecar index
+// or a previous walk): each frame's header walk is then independent and
+// runs in parallel (OpenMP). fstarts: [nframes] absolute byte offsets.
+// Returns 0, or -1 if any frame's walk ran past its end.
+int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
+                      int64_t nframes, int64_t nvalues, int64_t block,
+                      const int64_t* fstarts,
+                      int32_t* widths, int64_t* poffs) {
+    int64_t nblocks = (nvalues + block - 1) / block;
+    int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|:bad)
+    for (int64_t f = 0; f < nframes; ++f) {
+        BitReader r{payload, (uint64_t)payload_len,
+                    (uint64_t)fstarts[f] * 8};
+        int width = 0;
+        for (int64_t b = 0; b < nblocks; ++b) {
+            if ((r.pos >> 3) >= (uint64_t)payload_len) { bad |= 1; break; }
+            if (r.get(1) == 0) {
+                width = (int)r.get(3);
+                if (width == 7) {
+                    width += (int)r.get(2);
+                    if (width == 10) width += (int)r.get(6);
+                }
+            }
+            int64_t idx = f * nblocks + b;
+            widths[idx] = width;
+            poffs[idx] = (int64_t)r.pos;
+            int64_t count = std::min(block, nvalues - b * block);
+            r.pos += (uint64_t)(width * count);
+        }
+    }
+    return bad ? -1 : 0;
+}
+
 // Encode `nframes` frames of `nvalues` int64 values (any source dtype is
 // widened to int64 host-side; magnitudes beyond 2^63-1 are not produced by
 // any supported dtype except the int64 minimum, handled via its 2^63 bit

@@ -356,7 +356,12 @@ def assemble_archive(
         dimensions=tuple(dimensions),
         number_of_frames=F,
     )
-    return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()))
+    # the encoder knows every frame's offset — carry them so decode (and
+    # an optional .trpx.idx sidecar) can walk frames in parallel
+    offsets = np.zeros(F, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()),
+                       frame_index=offsets)
 
 
 # ---------------------------------------------------------------- decode ---
@@ -463,7 +468,18 @@ def walk_archive(
         have_native = native.available()
     except Exception:
         have_native = False
-    if have_native:
+    if have_native and getattr(archive, "frame_index", None) is not None:
+        # sidecar/encoder-provided offsets: frames walk in parallel
+        from .. import native
+
+        fidx = np.asarray(archive.frame_index, dtype=np.int64)
+        w, o = native.walk_indexed(payload, fidx, meta.number_of_values,
+                                   meta.block)
+        widths[:F] = w
+        poffs[:F] = o - fidx[:, None] * 8
+        starts = fidx
+        ends = np.concatenate([fidx[1:], [meta.memory_size]])
+    elif have_native:
         from .. import native
 
         w, o, fstarts = native.walk(payload, F, meta.number_of_values,

@@ -221,7 +221,10 @@ class ShardedCodec:
             dimensions=tuple(dimensions),
             number_of_frames=n_frames,
         )
-        return TrpxArchive(meta=meta, payload=bytes(payload.tobytes()))
+        return TrpxArchive(
+            meta=meta, payload=bytes(payload.tobytes()),
+            frame_index=np.asarray(offsets[:n_frames], dtype=np.int64),
+        )
 
     # ------------------------------------------------------------ decode ---
 

@@ -81,6 +81,7 @@ class StreamingEncoder:
         self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block,
                                         cap_ratio=0.5)
         self.sync_every_chunk = sync_every_chunk
+        self.part_idx = self.path.with_name(self.path.name + ".part.idx")
         if self.manifest_path.exists():
             m = _Manifest.load(self.manifest_path)
             if (m.dtype, m.nvalues, m.block) != (self.dtype.str, nvalues,
@@ -92,6 +93,8 @@ class StreamingEncoder:
             # truncate a possibly torn tail back to the checkpoint
             with open(self.part, "ab") as f:
                 f.truncate(m.payload_bytes)
+            with open(self.part_idx, "ab") as f:
+                f.truncate(8 * m.frames_done)
         else:
             self.m = _Manifest(
                 dtype=self.dtype.str,
@@ -104,6 +107,8 @@ class StreamingEncoder:
                 prolix_bits=0,
             )
             with open(self.part, "wb"):
+                pass
+            with open(self.part_idx, "wb"):
                 pass
             self.m.save(self.manifest_path)
 
@@ -132,13 +137,21 @@ class StreamingEncoder:
             spec = spec.with_ratio(1.0)
             words, bits, maxw, over = jax.device_get(run(spec, padded))
         words = np.ascontiguousarray(words)
-        byte_view = words.view(np.uint8).reshape(F, -1)
+        byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
+        offs = np.empty(F, dtype="<u8")
         with open(self.part, "r+b") as f:
             f.seek(self.m.payload_bytes)
             for fr in range(F):
+                offs[fr] = self.m.payload_bytes
                 nb = frame_nbytes(int(bits[fr]))
                 f.write(byte_view[fr, :nb].tobytes())
                 self.m.payload_bytes += nb
+            if self.sync_every_chunk:
+                f.flush()
+                os.fsync(f.fileno())
+        with open(self.part_idx, "r+b") as f:
+            f.seek(8 * self.m.frames_done)
+            f.write(offs.tobytes())
             if self.sync_every_chunk:
                 f.flush()
                 os.fsync(f.fileno())
@@ -157,9 +170,11 @@ class StreamingEncoder:
             number_of_frames=self.m.frames_done,
         )
 
-    def finalize(self, verify: bool = False) -> Path:
+    def finalize(self, verify: bool = False, index: bool = False) -> Path:
         """Assemble header + payload into ``path``; optionally verify by
-        re-walking every frame header; then drop the temporaries."""
+        re-walking every frame header; ``index=True`` writes the
+        ``.trpx.idx`` sidecar (offsets were accumulated per chunk, so
+        this costs nothing); then drop the temporaries."""
         header = emit_header(self.meta())
         tmp = self.path.with_name(self.path.name + ".tmp")
         with open(tmp, "wb") as out, open(self.part, "rb") as part:
@@ -181,7 +196,13 @@ class StreamingEncoder:
 
             walk_archive(arch, self.spec)  # raises on malformed stream
         os.replace(tmp, self.path)
+        if index:
+            from ..io.trpx import write_index
+
+            offs = np.fromfile(self.part_idx, dtype="<u8")
+            write_index(self.path, offs, self.m.payload_bytes)
         self.part.unlink(missing_ok=True)
+        self.part_idx.unlink(missing_ok=True)
         self.manifest_path.unlink(missing_ok=True)
         return self.path
 
