@@ -66,10 +66,10 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     h = w = 512
     n = h * w
-    # 0.3 soft capacity: diffraction data compresses to ~0.21, and the
+    # 0.25 soft capacity: diffraction data compresses to ~0.21, and the
     # validity check below asserts no overflow (overflow would fall back
     # to the worst-case kernel in production)
-    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.3)
+    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.25)
 
     key = jax.random.PRNGKey(0)
     n_full = spec.tree_rows * spec.block

@@ -40,10 +40,16 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
-def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int):
-    """Per-block tables as (R, L) planes; block b = r + R*l."""
+def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
+                 block_offset=None, n_total: int | None = None,
+                 prev0=None):
+    """Per-block tables as (R, L) planes; block b = r + R*l.
+
+    For tiled big-frame encodes: ``block_offset`` (traced scalar) shifts
+    block indices into the global frame, ``n_total`` is the global value
+    count, and ``prev0`` is the previous tile's last block width (the
+    repeat-coding state crosses tile boundaries, Terse.hpp:517-535)."""
     B = spec.block
-    nb = spec.nb
     if spec.signed:
         mags = [
             jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
@@ -63,13 +69,19 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int):
     r_iota = jax.lax.broadcasted_iota(_I32, (R, L), 0)
     l_iota = jax.lax.broadcasted_iota(_I32, (R, L), 1)
     bidx = r_iota + R * l_iota
-    real = bidx < nb
+    if block_offset is not None:
+        bidx = bidx + block_offset
+    n_lim = spec.n if n_total is None else n_total
+    nb_lim = -(-n_lim // B)
+    real = bidx < nb_lim
     width = jnp.where(real, width, _I32(0))
-    counts = jnp.clip(spec.n - bidx * B, 0, B)
+    counts = jnp.clip(n_lim - bidx * B, 0, B)
 
-    # previous block's width: sublane shift down, lane wrap for r == 0
+    # previous block's width: sublane shift down, lane wrap for r == 0;
+    # the very first block chains from the previous tile (or 0)
+    first_prev = _I32(0) if prev0 is None else prev0.astype(_I32)
     top = jnp.roll(width[R - 1 : R], 1, axis=1)
-    top = jnp.where(l_iota[:1] == 0, _I32(0), top)
+    top = jnp.where(l_iota[:1] == 0, first_prev, top)
     if R > 1:
         prev = jnp.concatenate([top, width[:-1]], axis=0)
     else:
