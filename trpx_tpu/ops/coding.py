@@ -313,12 +313,17 @@ def _best_encoder():
     interpreter mode) and for frames too large for the VMEM tree."""
     try:
         if jax.default_backend() == "tpu":
-            from .pallas_pack import encode_batch_pallas
+            from .pallas_pack import (
+                encode_batch_pallas,
+                encode_batch_pallas_tiled,
+            )
 
             def run(spec, frames):
                 if spec.pallas_ok:
                     return encode_batch_pallas(spec, frames)
-                return encode_batch_device(spec, frames)
+                # big frames (2K/4K detectors): per-tile VMEM packs +
+                # a small jnp merge of the tile streams
+                return encode_batch_pallas_tiled(spec, frames)
 
             return run
     except Exception:

@@ -109,7 +109,9 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
 
 
 def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
-            over_ref):
+            over_ref, prev_ref=None, n_total: int | None = None):
+    """One frame (or one TILE of a big frame, when ``prev_ref``/``n_total``
+    are provided and the grid is (F, T))."""
     B = spec.block
     P = spec.tree_rows
     # sublane-align the level-0 capacity (e.g. uint8's 4 words -> 8)
@@ -119,10 +121,27 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
     L = min(128, P)
     R = P // L
 
-    # input arrives host-arranged as (1, B, R, L):
-    # [0, j, r, l] = value j of block b = r + R*l — plain slices only
-    vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]  # (R, L)
-    width, hb, hv, counts = _plan_planes(spec, vplanes, R, L)
+    tiled = prev_ref is not None
+    if tiled:
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        block_offset = t * P
+        prev0 = prev_ref[f, t]
+    else:
+        f = pl.program_id(0)
+        block_offset = None
+        prev0 = None
+
+    # input arrives host-arranged as (1, B, R, L) (plus a leading tile
+    # axis when tiled): [j, r, l] = value j of block b = r + R*l
+    if tiled:
+        vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
+    else:
+        vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
+    width, hb, hv, counts = _plan_planes(
+        spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
+        prev0=prev0,
+    )
 
     wmask = jnp.where(
         width >= 32,
@@ -283,11 +302,16 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
             [words2, jnp.zeros((1, ow_pad - words2.shape[1]), _U32)],
             axis=1,
         )
-    words_ref[0, :, :] = words2
-    f = pl.program_id(0)
-    bits_ref[f, 0] = lp[0, 0]
-    maxw_ref[f, 0] = jnp.max(width)
-    over_ref[f, 0] = overflow.astype(_I32)
+    if tiled:
+        words_ref[0, 0, :, :] = words2
+        bits_ref[f, t] = lp[0, 0]
+        maxw_ref[f, t] = jnp.max(width)
+        over_ref[f, t] = overflow.astype(_I32)
+    else:
+        words_ref[0, :, :] = words2
+        bits_ref[f, 0] = lp[0, 0]
+        maxw_ref[f, 0] = jnp.max(width)
+        over_ref[f, 0] = overflow.astype(_I32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -378,3 +402,110 @@ def encode(
             encode_batch_pallas(spec, padded, interpret)
         )
     return assemble_archive(spec, words, bits, maxw, dimensions)
+
+
+#: blocks per tile for big-frame encodes (a pow2 whose VMEM tree fits)
+TILE_BLOCKS = 32768
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
+                              interpret: bool = False):
+    """Big-frame encode: per-tile Pallas VMEM packs + a small jnp merge.
+
+    Frames whose whole merge tree exceeds VMEM (2K/4K detectors) split
+    into tiles of TILE_BLOCKS blocks. Each tile packs in VMEM on its own
+    grid step; the repeat-coding state crosses tiles via a per-tile
+    ``prev width`` scalar (computed in a one-pass jnp prepass); the <=32
+    tile streams then concatenate with the jnp ragged merge (unrolled
+    dynamic-slice path — negligible next to the tile packs).
+
+    Same contract as encode_batch_pallas: (words, bits, maxw, over).
+    """
+    from .pack import ragged_concat
+
+    F = frames.shape[0]
+    B = spec.block
+    Tb = TILE_BLOCKS
+    T = -(-spec.nb // Tb)
+    total_blocks = T * Tb
+    tspec = FrameSpec(n=Tb * B, block=B, signed=spec.signed,
+                      max_width=spec.max_width, cap_ratio=spec.cap_ratio)
+    if frames.shape[1] < total_blocks * B:
+        pad = jnp.zeros((F, total_blocks * B - frames.shape[1]),
+                        frames.dtype)
+        frames = jnp.concatenate([frames, pad], axis=1)
+    elif frames.shape[1] > total_blocks * B:
+        frames = frames[:, : total_blocks * B]
+    L = min(128, Tb)
+    R = Tb // L
+    x = frames.reshape(F, T, L, R, B).transpose(0, 1, 4, 3, 2)
+
+    # prev-width prepass: width of each tile's LAST block -> shifted
+    lastv = frames.reshape(F, T, Tb, B)[:, :, -1, :].astype(jnp.int32)
+    if spec.signed:
+        mag = jax.lax.bitcast_convert_type(
+            jnp.where(lastv < 0, -lastv, lastv), jnp.uint32)
+    else:
+        mag = jax.lax.bitcast_convert_type(lastv, jnp.uint32)
+    setb = jnp.bitwise_or.reduce(mag, axis=2)
+    nz = setb != 0
+    wlast = jnp.where(nz, 32 - jax.lax.clz(setb).astype(jnp.int32), 0)
+    if spec.signed:
+        wlast = wlast + nz.astype(jnp.int32)
+    prev0 = jnp.concatenate(
+        [jnp.zeros((F, 1), jnp.int32), wlast[:, :-1]], axis=1
+    )
+
+    ow = _round_up(tspec.out_words, 128)
+    kernel = functools.partial(_kernel, tspec, n_total=spec.n)
+    words, bits, maxw, over = pl.pallas_call(
+        lambda fr, pv, w, b, m, o: kernel(fr, w, b, m, o, prev_ref=pv),
+        grid=(F, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, B, R, L), lambda f, t: (f, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, ow), lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, T, 1, ow), jnp.uint32),
+            jax.ShapeDtypeStruct((F, T), jnp.int32),
+            jax.ShapeDtypeStruct((F, T), jnp.int32),
+            jax.ShapeDtypeStruct((F, T), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, prev0)
+
+    # merge the tile streams (T small: unrolled dynamic-slice levels)
+    Tp = 1
+    while Tp < T:
+        Tp *= 2
+    rows = words.reshape(F, T, ow)
+    lens = bits
+    if Tp > T:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((F, Tp - T, ow), jnp.uint32)], axis=1)
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((F, Tp - T), jnp.int32)], axis=1)
+
+    def merge_one(r, ln):
+        w, total, _ = ragged_concat(r, ln, max_string_bits=ow * 32 - 31)
+        return w, total
+
+    wfull, totals = jax.vmap(merge_one)(rows, lens)
+    return (wfull, totals, jnp.max(maxw, axis=1),
+            jnp.max(over, axis=1))
