@@ -525,12 +525,19 @@ def _best_decoder():
     jnp split tree elsewhere."""
     try:
         if jax.default_backend() == "tpu":
-            from .pallas_unpack import decode_batch_pallas
+            from .pallas_unpack import choose_ratio, decode_batch_pallas
 
             def run(spec, words, widths, poffs):
                 if spec.pallas_ok:
+                    # host-proven capacity bucket (only when widths are
+                    # concrete; inside shard_map they are traced)
+                    ratio = (
+                        choose_ratio(spec, widths)
+                        if isinstance(widths, np.ndarray) else 1.0
+                    )
                     return decode_batch_pallas(
-                        spec, jnp.asarray(words), jnp.asarray(widths)
+                        spec, jnp.asarray(words), jnp.asarray(widths),
+                        False, ratio,
                     )
                 return decode_batch_device(spec, words, widths, poffs)
 

@@ -37,7 +37,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(spec: FrameSpec, w_pad: int, words_ref, widths_ref, out_ref):
+def _node_cap_words(child_blocks: int, mbb: int, cap0: int,
+                    ratio: float) -> int:
+    """Capacity (words) for a split-tree node of ``child_blocks`` blocks.
+
+    Mirrors pack.capacity_schedule: worst case at ratio 1.0, otherwise a
+    ratio-scaled size plus hot-pixel slack. The decode host KNOWS every
+    node's real length from the walk and only picks a ratio that fits
+    (decode_batch_pallas), so no overflow handling is needed in-kernel.
+    """
+    worst = -(-(child_blocks * mbb + 31) // 32)
+    if ratio >= 1.0 or child_blocks < 8:
+        return worst
+    slack = 6 * (-(-mbb // 32)) + cap0
+    return min(worst, -(-int(child_blocks * mbb * ratio) // 32) + slack)
+
+
+def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
+            words_ref, widths_ref, out_ref):
     B = spec.block
     P = spec.tree_rows
     nb = spec.nb
@@ -111,7 +128,10 @@ def _kernel(spec: FrameSpec, w_pad: int, words_ref, widths_ref, out_ref):
     for la_p in reversed(la_p2):
         M = Pn
         child_blocks = P // (2 * M)
-        Cc = min(_round_up(-(-(child_blocks * mbb + 31) // 32), 128), C)
+        Cc = min(
+            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 128),
+            C,
+        )
         la = la_p[:M, :1].astype(_I32)                      # (M, 1)
         lane = jax.lax.broadcasted_iota(_I32, (M, C), 1)
         la_w = la >> 5
@@ -150,7 +170,10 @@ def _kernel(spec: FrameSpec, w_pad: int, words_ref, widths_ref, out_ref):
     for la in reversed(la_p1):
         M = Rn
         child_blocks = R // (2 * M)
-        Cc = min(_round_up(-(-(child_blocks * mbb + 31) // 32), 8), C)
+        Cc = min(
+            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 8),
+            C,
+        )
         la3 = la[:, None, :].astype(_I32)                   # (M, 1, L)
         widx = jax.lax.broadcasted_iota(_I32, (M, C, L), 1)
         la_w = la3 >> 5
@@ -220,9 +243,55 @@ def _kernel(spec: FrameSpec, w_pad: int, words_ref, widths_ref, out_ref):
         out_ref[0, j] = jax.lax.bitcast_convert_type(u, _I32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+#: capacity buckets the host chooses among (recompiles bounded to 3)
+_RATIO_BUCKETS = (0.25, 0.5)
+
+
+def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
+    """Pick the smallest capacity bucket PROVEN to fit every split node.
+
+    widths: (F, nb) int32 from the header walk (host numpy). Derives the
+    per-block bit lengths, then per level checks the max node length
+    against that bucket's capacities. Falls back to 1.0 (worst case)."""
+    mbb = spec.max_block_bits
+    cap0 = _round_up(row_capacity(mbb), 8)
+    B = spec.block
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    F, nb = widths.shape
+    w = widths.astype(np.int64)
+    prev = np.concatenate([np.zeros((F, 1), np.int64), w[:, :-1]], axis=1)
+    hb = np.where(w == prev, 1, np.where(w < 7, 4, np.where(w < 10, 6, 12)))
+    counts = np.minimum(
+        B, np.maximum(0, spec.n - np.arange(nb, dtype=np.int64) * B)
+    )[None, :]
+    bits = hb + w * counts                                   # (F, nb)
+    if nb < P:
+        bits = np.concatenate(
+            [bits, np.zeros((F, P - nb), np.int64)], axis=1
+        )
+    for ratio in _RATIO_BUCKETS:
+        node = bits
+        cb = 1
+        ok = True
+        while cb < P:
+            cb *= 2
+            node = node.reshape(F, P // cb, 2).sum(axis=2)
+            align = 128 if cb >= R else 8
+            capw = _round_up(_node_cap_words(cb, mbb, cap0, ratio), align)
+            if node.max(initial=0) > capw * 32 - 31:
+                ok = False
+                break
+        if ok:
+            return ratio
+    return 1.0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
-                        widths: jax.Array, interpret: bool = False):
+                        widths: jax.Array, interpret: bool = False,
+                        ratio: float = 1.0):
     """Pallas decode of a batch.
 
     words:  (F, W) uint32 — per-frame streams (walk_archive buckets W)
@@ -248,7 +317,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     # (F, nb->P) -> (F, R, L) planes with [r, l] = block r + R*l
     wplanes = widths_p.reshape(F, L, R).transpose(0, 2, 1)
 
-    kernel = functools.partial(_kernel, spec, w_pad)
+    kernel = functools.partial(_kernel, spec, w_pad, ratio)
     out = pl.pallas_call(
         kernel,
         grid=(F,),
@@ -278,10 +347,11 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     widths, _poffs, words = walk_archive(archive, spec)
+    ratio = choose_ratio(spec, widths)
     vals = np.asarray(
         jax.device_get(
             decode_batch_pallas(spec, jnp.asarray(words),
-                                jnp.asarray(widths), interpret)
+                                jnp.asarray(widths), interpret, ratio)
         )
     )[:, : meta.number_of_values]
     if dtype == np.uint32:
