@@ -265,17 +265,17 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec,
     return out
 
 
-#: default optimistic capacity for the device encoder — sized for streams
-#: compressing to <= 50% of worst case (diffraction data runs ~21%); the
-#: worst-case kernel is re-run automatically on the rare overflow
-DEFAULT_CAP_RATIO = 0.5
+#: default capacity mode: "auto" runs a cheap device prepass that picks
+#: the smallest PROVEN bucket (0.25/0.5/1.0 of worst case); an explicit
+#: float keeps the optimistic-with-fallback behavior
+DEFAULT_CAP_RATIO = "auto"
 
 
 def encode(
     frames: np.ndarray,
     block: int = DEFAULT_BLOCK,
     dimensions: tuple[int, ...] = (),
-    cap_ratio: float = DEFAULT_CAP_RATIO,
+    cap_ratio=DEFAULT_CAP_RATIO,
 ) -> TrpxArchive:
     """Host wrapper: encode frames on the device and assemble a byte-exact
     ``.trpx`` archive.
@@ -284,6 +284,8 @@ def encode(
     a stack of images (dimensions inferred). Unlike format.pycodec's
     convenience API, 2-D here always means a batch.
     """
+    from .pack import ENCODE_BUCKETS, encode_bucket_device
+
     frames = np.asarray(frames)
     if frames.ndim == 1:
         frames = frames[None]
@@ -294,15 +296,25 @@ def encode(
     elif frames.ndim != 2:
         raise ValueError("frames must be 1-D, 2-D (batch) or 3-D (image stack)")
     F, n = frames.shape
-    spec = FrameSpec.for_dtype(n, frames.dtype, block, cap_ratio=cap_ratio)
+    spec = FrameSpec.for_dtype(n, frames.dtype, block)
     run = _best_encoder()
     padded = _pad_batch(frames, spec)
-    words, bits, maxw, over = jax.device_get(run(spec, padded))
-    if spec.cap_ratio < 1.0 and bool(np.any(over[:F])):
-        # optimistic capacities overflowed (incompressible data):
-        # re-encode with the guaranteed worst-case kernel
-        spec = spec.with_ratio(1.0)
+    if cap_ratio == "auto":
+        # one tiny scalar fetch proves the bucket; no overflow possible
+        idx = int(jax.device_get(
+            jax.jit(encode_bucket_device, static_argnums=0)(spec, padded)
+        ))
+        ratios = tuple(ENCODE_BUCKETS) + (1.0,)
+        spec = spec.with_ratio(ratios[idx])
         words, bits, maxw, over = jax.device_get(run(spec, padded))
+    else:
+        spec = spec.with_ratio(float(cap_ratio))
+        words, bits, maxw, over = jax.device_get(run(spec, padded))
+        if spec.cap_ratio < 1.0 and bool(np.any(over[:F])):
+            # optimistic capacities overflowed (incompressible data):
+            # re-encode with the guaranteed worst-case kernel
+            spec = spec.with_ratio(1.0)
+            words, bits, maxw, over = jax.device_get(run(spec, padded))
     return assemble_archive(spec, words[:F], bits[:F], maxw[:F], dimensions)
 
 

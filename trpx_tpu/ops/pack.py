@@ -362,3 +362,78 @@ def pack_frame(
                 [words, jnp.zeros((out_words - words.shape[0],), _U32)]
             )
     return words, total, overflow
+
+
+def block_bits_device(spec, frames: jax.Array) -> jax.Array:
+    """Per-block bit lengths for a (F, n_padded+) batch — the cheap
+    planning prepass (one elementwise pass + OR-reduce)."""
+    F = frames.shape[0]
+    B = spec.block
+    P = spec.tree_rows
+    if frames.shape[1] < P * B:
+        frames = jnp.concatenate(
+            [frames,
+             jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)],
+            axis=1,
+        )
+    v = frames[:, : P * B].astype(_I32).reshape(F, P, B)
+    if spec.signed:
+        mag = jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
+    else:
+        mag = jax.lax.bitcast_convert_type(v, _U32)
+    setbits = jnp.bitwise_or.reduce(mag, axis=2)
+    nz = setbits != 0
+    width = jnp.where(
+        nz, _I32(32) - jax.lax.clz(setbits).astype(_I32), _I32(0)
+    )
+    if spec.signed:
+        width = width + nz.astype(_I32)
+    bidx = jnp.arange(P, dtype=_I32)[None, :]
+    real = bidx < spec.nb
+    width = jnp.where(real, width, _I32(0))
+    counts = jnp.clip(spec.n - bidx * B, 0, B)
+    prev = jnp.concatenate(
+        [jnp.zeros((F, 1), _I32), width[:, :-1]], axis=1
+    )
+    repeat = (width == prev) & real
+    hb = jnp.where(
+        repeat, 1, jnp.where(width < 7, 4, jnp.where(width < 10, 6, 12))
+    ).astype(_I32)
+    hb = jnp.where(real, hb, _I32(0))
+    return hb + width * counts                              # (F, P)
+
+
+#: encode capacity buckets the prepass chooses among
+ENCODE_BUCKETS = (0.25, 0.5)
+
+
+def encode_bucket_device(spec, frames: jax.Array) -> jax.Array:
+    """Device prepass: smallest capacity bucket PROVEN to fit every merge
+    node. Returns an int32 scalar index into ENCODE_BUCKETS + (1.0,).
+
+    Replaces the encode-then-check-overflow gamble: one tiny scalar
+    fetch picks a kernel that cannot overflow.
+    """
+    bits = block_bits_device(spec, frames)                  # (F, P)
+    P = spec.tree_rows
+    cap0 = row_capacity(spec.max_block_bits)
+    fits = [jnp.bool_(True) for _ in ENCODE_BUCKETS]
+    schedules = [
+        capacity_schedule(P, cap0, spec.max_block_bits, r)
+        for r in ENCODE_BUCKETS
+    ]
+    node = bits
+    level = 0
+    blocks = 1
+    while blocks < P:
+        blocks *= 2
+        level += 1
+        F = node.shape[0]
+        node = node.reshape(F, node.shape[1] // 2, 2).sum(axis=2)
+        mx = jnp.max(node)
+        for k, sched in enumerate(schedules):
+            fits[k] = fits[k] & (mx <= sched[level] * 32 - 31)
+    idx = jnp.int32(len(ENCODE_BUCKETS))
+    for k in range(len(ENCODE_BUCKETS) - 1, -1, -1):
+        idx = jnp.where(fits[k], jnp.int32(k), idx)
+    return idx
