@@ -101,3 +101,21 @@ def test_device_poisson_diffraction_512():
 def test_device_rejects_64bit():
     with pytest.raises(TypeError):
         ops.encode(np.zeros((1, 4), dtype=np.uint64))
+
+
+def test_device_decode_narrowing_clamps_like_host():
+    """Fields wider than the target dtype must CLAMP, not wrap
+    (Bit_pointer.hpp:747-762; ADVICE r1: device astype wrapped)."""
+    vals = np.array([[40000, -40000, 123, -1, 32767, -32768]], np.int32)
+    arc = ops.encode(vals)
+    host = fmt.decode(arc, np.int16)
+    dev = ops.decode(arc, np.int16)
+    np.testing.assert_array_equal(dev, host)
+    assert dev[0, 0] == 32767 and dev[0, 1] == -32768
+
+    uvals = np.array([[70000, 65535, 5, 0, 2**31]], np.uint32)
+    uarc = ops.encode(uvals)
+    uhost = fmt.decode(uarc, np.uint16)
+    udev = ops.decode(uarc, np.uint16)
+    np.testing.assert_array_equal(udev, uhost)
+    assert udev[0, 0] == 65535

@@ -133,3 +133,16 @@ def test_encode_shards_and_write_shard_file(tmp_path):
     # local_archive path agrees with the file
     arch2 = local_archive(res, spec, n_frames=F)
     assert arch2.to_bytes() == ref.to_bytes()
+
+
+def test_streaming_resume_refuses_missing_part(tmp_path):
+    """A surviving manifest with a deleted .part must raise, not silently
+    resume over a zero-filled prefix (ADVICE r1)."""
+    rng = np.random.default_rng(7)
+    frames = _frames(rng, 4)
+    p = tmp_path / "m.trpx"
+    enc = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
+    enc.add_frames(frames)
+    (tmp_path / "m.trpx.part").unlink()
+    with pytest.raises(FileNotFoundError):
+        StreamingEncoder(p, nvalues=50, dtype=np.uint16)

@@ -131,6 +131,7 @@ def _encode_files(args) -> int:
     user_time = io_time = 0.0
     total_tif = total_trpx = 0
     n_done = 0
+    done_names: list[str] = []
     device = False if args.host else None
     if not args.host:
         _configure_jax()
@@ -149,6 +150,7 @@ def _encode_files(args) -> int:
                     print(f"Deleting original TIFF file: {src}")
                     src.unlink()
                 n_done += 1
+                done_names.append(name)
                 continue
             t0 = time.perf_counter()
             stack = read_tiff(src)
@@ -172,12 +174,15 @@ def _encode_files(args) -> int:
                 print(f"Deleting original TIFF file: {src}")
                 src.unlink()
             n_done += 1
+            done_names.append(name)
             user_time += t2 - t1
             io_time += (t1 - t0) + (t3 - t2)
         except Exception as e:  # per-file recovery (terse.cpp:88-90)
             print(f"Error processing {src}: {e}", file=sys.stderr)
     if args.verbose:
-        for name in args.files:
+        # only files actually processed, matching the reference's verbose
+        # report (terse.cpp:94-102 prints per successfully converted file)
+        for name in done_names:
             print(f"Compressed: {name}")
         print(f"Terse compressed: {n_done} files")
         print(f"User time       : {user_time:g} seconds")

@@ -5,6 +5,7 @@ other backends automatically; ``pallas_pack``/``pallas_unpack`` expose the
 kernels directly (with ``interpret=True`` for CPU testing).
 """
 
+from . import pallas_pack, pallas_unpack
 from .coding import (
     FrameSpec,
     assemble_archive,

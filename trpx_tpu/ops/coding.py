@@ -271,6 +271,21 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec,
 DEFAULT_CAP_RATIO = "auto"
 
 
+def _encode_bucket_jit(spec, padded):
+    """Module-level jitted capacity-bucket prepass: the trace cache is
+    reused across encode() calls (a per-call jax.jit wrapper would retrace
+    every time — ADVICE r1)."""
+    from .pack import encode_bucket_device
+
+    global _ENCODE_BUCKET_FN
+    if _ENCODE_BUCKET_FN is None:
+        _ENCODE_BUCKET_FN = jax.jit(encode_bucket_device, static_argnums=0)
+    return _ENCODE_BUCKET_FN(spec, padded)
+
+
+_ENCODE_BUCKET_FN = None
+
+
 def encode(
     frames: np.ndarray,
     block: int = DEFAULT_BLOCK,
@@ -284,7 +299,7 @@ def encode(
     a stack of images (dimensions inferred). Unlike format.pycodec's
     convenience API, 2-D here always means a batch.
     """
-    from .pack import ENCODE_BUCKETS, encode_bucket_device
+    from .pack import ENCODE_BUCKETS
 
     frames = np.asarray(frames)
     if frames.ndim == 1:
@@ -301,9 +316,7 @@ def encode(
     padded = _pad_batch(frames, spec)
     if cap_ratio == "auto":
         # one tiny scalar fetch proves the bucket; no overflow possible
-        idx = int(jax.device_get(
-            jax.jit(encode_bucket_device, static_argnums=0)(spec, padded)
-        ))
+        idx = int(jax.device_get(_encode_bucket_jit(spec, padded)))
         ratios = tuple(ENCODE_BUCKETS) + (1.0,)
         spec = spec.with_ratio(ratios[idx])
         words, bits, maxw, over = jax.device_get(run(spec, padded))
@@ -382,6 +395,24 @@ def assemble_archive(
 
 
 # ---------------------------------------------------------------- decode ---
+
+
+def narrow_values(vals: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Narrow decoded int32 lanes into the target dtype with the
+    reference's CLAMP semantics (Bit_pointer.hpp:747-762: fields wider
+    than the target saturate at its range instead of wrapping). Values
+    already within range pass through unchanged, so the clip is a no-op
+    for the common width <= dtype-bits case."""
+    dtype = np.dtype(dtype)
+    if dtype == np.int32:
+        return vals
+    if dtype.kind == "u":
+        u = vals.view(np.uint32)
+        if dtype == np.uint32:
+            return u
+        return np.minimum(u, np.uint32(np.iinfo(dtype).max)).astype(dtype)
+    info = np.iinfo(dtype)
+    return np.clip(vals, info.min, info.max).astype(dtype)
 
 
 def decode_frame_device(
@@ -533,20 +564,24 @@ def walk_archive(
 
 
 def _best_decoder():
-    """Pallas split-tree kernel on TPU (when the frame fits VMEM), the
-    jnp split tree elsewhere."""
+    """Pallas split-tree kernel on TPU (tiled when the frame outgrows
+    VMEM), the jnp split tree elsewhere. The returned callable takes an
+    optional static ``ratio``: sharded decode computes the proven capacity
+    bucket HOST-side before the shard_map launch (widths are traced inside
+    it) and passes it through."""
     try:
         if jax.default_backend() == "tpu":
             from .pallas_unpack import choose_ratio, decode_batch_pallas
 
-            def run(spec, words, widths, poffs):
+            def run(spec, words, widths, poffs, ratio=None):
                 if spec.pallas_ok:
-                    # host-proven capacity bucket (only when widths are
-                    # concrete; inside shard_map they are traced)
-                    ratio = (
-                        choose_ratio(spec, widths)
-                        if isinstance(widths, np.ndarray) else 1.0
-                    )
+                    if ratio is None:
+                        # host-proven capacity bucket (only when widths
+                        # are concrete; inside shard_map they are traced)
+                        ratio = (
+                            choose_ratio(spec, widths)
+                            if isinstance(widths, np.ndarray) else 1.0
+                        )
                     return decode_batch_pallas(
                         spec, jnp.asarray(words), jnp.asarray(widths),
                         False, ratio,
@@ -556,7 +591,13 @@ def _best_decoder():
             return run
     except Exception:
         pass
-    return decode_batch_device
+
+    def run_jnp(spec, words, widths, poffs, ratio=None):
+        del ratio  # the jnp tree clamps node capacities at the bucketed
+        #            stream size already
+        return decode_batch_device(spec, words, widths, poffs)
+
+    return run_jnp
 
 
 def decode(archive: TrpxArchive, dtype) -> np.ndarray:
@@ -574,6 +615,4 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     vals = np.asarray(
         jax.device_get(run(spec, words, widths, poffs))
     )[:F, : meta.number_of_values]
-    if dtype == np.uint32:
-        return vals.view(np.uint32)
-    return vals.astype(dtype)
+    return narrow_values(vals, dtype)

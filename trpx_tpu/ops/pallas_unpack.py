@@ -341,7 +341,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
 
 def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     """Host wrapper: native header walk + Pallas unpack -> (F, n)."""
-    from .coding import walk_archive
+    from .coding import narrow_values, walk_archive
 
     dtype = np.dtype(dtype)
     meta = archive.meta
@@ -354,6 +354,4 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
                                 jnp.asarray(widths), interpret, ratio)
         )
     )[:, : meta.number_of_values]
-    if dtype == np.uint32:
-        return vals.view(np.uint32)
-    return vals.astype(dtype)
+    return narrow_values(vals, dtype)

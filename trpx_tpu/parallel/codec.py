@@ -59,11 +59,13 @@ def default_mesh(devices=None) -> Mesh:
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
-    """Sharded encode step: per-frame words/bits + global byte offsets.
+    """Sharded encode step: per-frame words + the replicated size table.
 
     ``frames``: (F, n_padded), F divisible by mesh size, sharded on axis 0.
-    Returns (words (F, n_words) sharded, nbytes (F,), offsets (F,),
-    total_bytes scalar, prolix_bits scalar) — the last three replicated.
+    Returns (words (F, n_words) sharded, nbytes (F,), prolix_bits scalar,
+    overflow scalar) — the last three replicated. Absolute byte offsets
+    are derived HOST-side in int64 (``_offsets_from_sizes``): an int32
+    device cumsum would silently wrap for archives over 2 GiB.
     """
 
     from ..ops.coding import _best_encoder
@@ -74,26 +76,33 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
         words, bits, maxw, over = encoder(spec, frames_local)
         nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
         # the one collective: all-gather the per-frame size table; every
-        # device then holds the replicated global table, from which the
-        # absolute byte offset of every frame follows by exclusive cumsum
+        # device (and every process) then holds the replicated global
+        # table, from which each frame's absolute byte offset follows
         sizes = jax.lax.all_gather(nbytes_local, AXIS)  # (ndev, F_local)
         flat = sizes.reshape(-1)  # frame order == shard order (contiguous)
-        ends = jnp.cumsum(flat)
-        offsets = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
-        total = ends[-1]
         prolix = jax.lax.pmax(jnp.max(maxw), AXIS)
         overflow = jax.lax.pmax(
             jnp.any(over).astype(jnp.int32), AXIS
         )
-        return words, flat, offsets, total, prolix, overflow
+        return words, flat, prolix, overflow
 
     return shard_map(
         local_encode,
         mesh=mesh,
         in_specs=P(AXIS, None),
-        out_specs=(P(AXIS, None), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS, None), P(), P(), P()),
         check_vma=False,
     )(frames)
+
+
+def _offsets_from_sizes(nbytes: np.ndarray) -> tuple[np.ndarray, int]:
+    """Exclusive int64 cumsum of the per-frame byte sizes -> (offsets,
+    total). Host-side so >2 GiB archives can't wrap int32 (ADVICE r1)."""
+    nbytes = np.asarray(nbytes, dtype=np.int64)
+    offsets = np.zeros_like(nbytes)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1]) if nbytes.size else 0
+    return offsets, total
 
 
 @dataclass(frozen=True)
@@ -128,14 +137,15 @@ class ShardedCodec:
         padded, F = self.pad_frames(frames)
         x = self._shard(padded, P(AXIS, None))
         spec = self.spec
-        words, nbytes, offsets, total, prolix, over = jax.device_get(
+        words, nbytes, prolix, over = jax.device_get(
             _encode_sharded_jit(spec, self.mesh, x)
         )
         if spec.cap_ratio < 1.0 and int(over):
             spec = spec.with_ratio(1.0)
-            words, nbytes, offsets, total, prolix, over = jax.device_get(
+            words, nbytes, prolix, over = jax.device_get(
                 _encode_sharded_jit(spec, self.mesh, x)
             )
+        offsets, _ = _offsets_from_sizes(nbytes)
         return self.assemble(
             words[:F], nbytes[:F], offsets[:F], int(prolix), F, dimensions
         )
@@ -159,6 +169,12 @@ class ShardedCodec:
             pid, nproc = jax.process_index(), jax.process_count()
         except Exception:
             pid, nproc = 0, 1
+        if not (F_local * (nproc - 1) < n_frames <= F_local * nproc):
+            raise ValueError(
+                f"n_frames={n_frames} inconsistent with F_local={F_local} "
+                f"× {nproc} processes (every process must pass the same "
+                "F_local; pad the tail host with zero frames)"
+            )
         padded = np.zeros((F_local, self.spec.n_padded), frames_local.dtype)
         padded[:, : self.spec.n] = frames_local
         # globally the batch is (F_local * nproc, n_padded), frame-sharded;
@@ -176,22 +192,23 @@ class ShardedCodec:
         )
         spec = self.spec
         out = _encode_sharded_jit(spec, self.mesh, x)
-        if spec.cap_ratio < 1.0 and int(jax.device_get(out[5])):
+        if spec.cap_ratio < 1.0 and int(jax.device_get(out[3])):
             spec = spec.with_ratio(1.0)
             out = _encode_sharded_jit(spec, self.mesh, x)
-        words, nbytes, offsets, total, prolix, _ = out
+        words, nbytes, prolix, _ = out
         # local words: addressable shards in global frame order
         shards = sorted(
             words.addressable_shards, key=lambda s: s.index[0].start or 0
         )
         words_local = np.concatenate([np.asarray(s.data) for s in shards])
+        offsets, total = _offsets_from_sizes(jax.device_get(nbytes))
         return ShardResult(
             frame_lo=pid * F_local,
             frame_hi=(pid + 1) * F_local,
             words=words_local,
-            nbytes=np.asarray(jax.device_get(nbytes)),
-            offsets=np.asarray(jax.device_get(offsets)),
-            total_bytes=int(jax.device_get(total)),
+            nbytes=np.asarray(jax.device_get(nbytes), dtype=np.int64),
+            offsets=offsets,
+            total_bytes=total,
             prolix_bits=int(jax.device_get(prolix)),
         )
 
@@ -237,6 +254,10 @@ class ShardedCodec:
         # serial header walk (SURVEY §7 hard part 3) — native C++ when built
         widths, poffs, words = walk_archive(archive, self.spec,
                                             pad_frames_to=Fp)
+        # proven capacity bucket, computed host-side from the walk tables
+        # BEFORE the shard_map launch (widths are traced inside it), so
+        # sharded decode runs the same bucketed kernel as single-chip
+        ratio = _proven_ratio(self.spec, widths)
         vals = jax.device_get(
             _decode_sharded_jit(
                 self.spec,
@@ -244,21 +265,35 @@ class ShardedCodec:
                 self._shard(words, P(AXIS, None)),
                 self._shard(widths, P(AXIS, None)),
                 self._shard(poffs, P(AXIS, None)),
+                ratio,
             )
         )[:F, : meta.number_of_values]
-        if dtype == np.uint32:
-            return vals.view(np.uint32)
-        return vals.astype(dtype)
+        from ..ops.coding import narrow_values
+
+        return narrow_values(vals, dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _decode_sharded_jit(spec, mesh, words, widths, poffs):
+def _proven_ratio(spec, widths: np.ndarray) -> float:
+    """Host-side proven decode capacity bucket (1.0 when Pallas is not in
+    play — the jnp tree sizes itself from the bucketed stream)."""
+    try:
+        if jax.default_backend() == "tpu" and spec.pallas_ok:
+            from ..ops.pallas_unpack import choose_ratio
+
+            return choose_ratio(spec, widths)
+    except Exception:
+        pass
+    return 1.0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def _decode_sharded_jit(spec, mesh, words, widths, poffs, ratio=1.0):
     from ..ops.coding import _best_decoder
 
     decoder = _best_decoder()  # Pallas split tree on TPU, jnp on CPU
 
     def local(words_l, widths_l, poffs_l):
-        return decoder(spec, words_l, widths_l, poffs_l)
+        return decoder(spec, words_l, widths_l, poffs_l, ratio=ratio)
 
     return shard_map(
         local,

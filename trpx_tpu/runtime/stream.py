@@ -90,6 +90,19 @@ class StreamingEncoder:
                     "existing manifest does not match this configuration"
                 )
             self.m = m
+            # the .part files must still hold at least the checkpointed
+            # bytes: 'ab' would silently recreate a deleted file and
+            # truncate() would zero-extend it — an all-zero prefix walks
+            # as valid width-0 headers, so the corruption would be silent
+            for p, need in ((self.part, m.payload_bytes),
+                            (self.part_idx, 8 * m.frames_done)):
+                have = p.stat().st_size if p.exists() else -1
+                if have < need:
+                    raise FileNotFoundError(
+                        f"manifest checkpoints {need} bytes but {p} "
+                        f"{'is missing' if have < 0 else f'holds {have}'}; "
+                        "remove the manifest to restart from scratch"
+                    )
             # truncate a possibly torn tail back to the checkpoint
             with open(self.part, "ab") as f:
                 f.truncate(m.payload_bytes)
@@ -235,7 +248,6 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
                 )
             )
         )[:, : meta.number_of_values]
-        if dtype == np.uint32:
-            yield vals.view(np.uint32)
-        else:
-            yield vals.astype(dtype)
+        from ..ops.coding import narrow_values
+
+        yield narrow_values(vals, dtype)
