@@ -1,21 +1,23 @@
-"""Benchmark: 512×512 uint16 diffraction-frame encode throughput on TPU.
+"""Benchmark: TRPX encode+decode throughput on TPU, all flagship configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is relative to the measured reference encoder throughput
-(1712 frames/s, single Xeon core — BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``value`` is the 512×512 uint16 ENCODE rate (the headline metric,
+vs_baseline relative to the reference's measured 1712 frames/s on one
+Xeon core — BASELINE.md); the same object carries the decode rate and
+the 2048×2048 uint32 overflow-heavy config (BASELINE config 3) so the
+driver's BENCH_r*.json records the full judged metric set.
 
 Methodology: frames are synthesized ON DEVICE (Poisson background + hot
 pixels, the BASELINE.md workload, ~0.21 compression ratio) so the
-measurement isolates the encode kernel from host↔device transfer (the
+measurement isolates the codec kernels from host↔device transfer (the
 dev box reaches the TPU through a network tunnel; a production host
 feeds local HBM). Because the tunnel's ``block_until_ready`` is not a
 reliable barrier, each rep materializes a scalar checksum of the
 outputs (forcing a device round trip) and the measured round-trip
 latency of a null op is subtracted; the median of several reps is
-reported.
-
-The encode runs the Pallas VMEM kernel (ops/pallas_pack.py), falling
-back to the jnp merge tree if the kernel is unavailable on the backend.
+reported. Decode timing covers the device unpack kernels; the serial
+host header walk is timed separately (``walk_*`` keys) — production
+pipelines overlap it with device work (runtime/stream.iter_decode).
 
 Run on real hardware: ``python bench.py [n_frames] [reps]``.
 """
@@ -29,7 +31,9 @@ import time
 
 import numpy as np
 
-REFERENCE_FPS = 1712.0  # reference encoder, 1 CPU core (BASELINE.md)
+REFERENCE_FPS = 1712.0       # reference encoder, 1 CPU core (BASELINE.md)
+REFERENCE_DECODE_FPS = 2061.0
+REFERENCE_2K_FPS = 54.0      # 0.9 GB/s on 16.8 MB 2048² u32 frames
 
 # HBM speed-of-light per chip, GB/s (public figures)
 HBM_GBS = {
@@ -38,6 +42,182 @@ HBM_GBS = {
     "TPU v4": 1228.0,
     "TPU v6 lite": 1640.0,  # v6e / Trillium
 }
+
+
+def _rtt_timer(null_fn, reps):
+    rtt = statistics.median(
+        (lambda t0: (null_fn(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(reps)
+    )
+
+    def measure(step_fn):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            step_fn()
+            ts.append(time.perf_counter() - t0)
+        return max(statistics.median(ts) - rtt, 1e-9), ts
+
+    return rtt, measure
+
+
+def _synth(jax, jnp, spec, F, hot_val, seed=0):
+    """Device-side diffraction frames padded to the kernel grid."""
+    key = jax.random.PRNGKey(seed)
+    n_full = spec.tree_rows * spec.block
+    dt = jnp.uint16 if spec.max_width <= 16 else jnp.uint32
+    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(dt)
+    lane = jnp.arange(n_full)[None, :]
+    x = jnp.where(lane < spec.n, x, 0)
+    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
+           < 200.0 / spec.n)
+    x = jnp.where(hot & (lane < spec.n), dt(hot_val), x)
+    return jax.block_until_ready(x)
+
+
+def bench_512(jax, jnp, F, reps):
+    """512×512 u16: Pallas VMEM encode + split-tree decode."""
+    from trpx_tpu.ops.coding import (
+        FrameSpec,
+        assemble_archive,
+        encode_batch_device,
+        walk_archive,
+    )
+
+    n = 512 * 512
+    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.25)
+    x = _synth(jax, jnp, spec, F, 60000)
+
+    kernel_name = "pallas-vmem"
+    try:
+        from trpx_tpu.ops.pallas_pack import encode_batch_pallas
+
+        enc = lambda fr: encode_batch_pallas(spec, fr)
+        _, _, _, over0 = jax.device_get(enc(x))
+        assert not bool(np.any(over0)), "soft capacity overflowed"
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
+              "falling back to jnp tree", file=sys.stderr)
+        kernel_name = "jnp-tree"
+        x = x[:, : spec.n_padded]
+        enc = lambda fr: encode_batch_device(spec, fr)
+
+    @jax.jit
+    def enc_sum(fr):
+        words, bits, maxw, over = enc(fr)
+        return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
+                + jnp.uint32(over.sum()))
+
+    @jax.jit
+    def null(fr):
+        return jnp.uint32(fr[0, 0])
+
+    int(null(x))
+    int(enc_sum(x))
+    rtt, measure = _rtt_timer(lambda: int(null(x)), reps)
+    t_enc, ts_enc = measure(lambda: int(enc_sum(x)))
+
+    # ---- decode: archive -> walk (host, timed separately) -> device ----
+    words, bits, maxw, _ = jax.device_get(enc(x))
+    arch = assemble_archive(spec, words, bits, maxw)
+    t0 = time.perf_counter()
+    widths, poffs, wbuf = walk_archive(arch, spec)
+    walk_s = time.perf_counter() - t0
+
+    dec_name = "jnp-tree"
+    try:
+        from trpx_tpu.ops.pallas_unpack import (
+            choose_ratio,
+            decode_batch_pallas,
+        )
+
+        ratio = choose_ratio(spec, widths)
+        wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
+
+        @jax.jit
+        def dec_sum(wb, wd):
+            o = decode_batch_pallas(spec, wb, wd, False, ratio)
+            return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
+
+        dec_name = f"pallas-split r{ratio}"
+    except Exception:
+        from trpx_tpu.ops.coding import decode_batch_device
+
+        wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
+        po = jnp.asarray(poffs)
+
+        @jax.jit
+        def dec_sum(wb, wd):
+            o = decode_batch_device(spec, wb, wd, po)
+            return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
+
+    int(dec_sum(wb, wd))
+    t_dec, ts_dec = measure(lambda: int(dec_sum(wb, wd)))
+    return dict(
+        kernel=kernel_name, dec_kernel=dec_name, rtt=rtt,
+        enc_fps=F / t_enc, dec_fps=F / t_dec,
+        enc_gbs=F * arch.meta.number_of_values * 2 / t_enc / 1e9,
+        dec_gbs=F * arch.meta.number_of_values * 2 / t_dec / 1e9,
+        walk_fps=F / walk_s, ts_enc=ts_enc, ts_dec=ts_dec,
+    )
+
+
+def bench_2k(jax, jnp, reps):
+    """2048×2048 u32 overflow-heavy (BASELINE config 3): tiled kernels."""
+    from trpx_tpu.ops.coding import FrameSpec, assemble_archive, walk_archive
+    from trpx_tpu.ops.pallas_pack import encode_batch_pallas_tiled
+    from trpx_tpu.ops.pallas_unpack import (
+        decode_batch_pallas_tiled,
+        tile_prepass,
+    )
+
+    F = 8
+    n = 2048 * 2048
+    spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=0.25)
+    x = _synth(jax, jnp, spec, F, 2_000_000_000, seed=2)
+
+    @jax.jit
+    def enc_sum(fr):
+        words, bits, maxw, over = encode_batch_pallas_tiled(spec, fr)
+        return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
+                + jnp.uint32(over.sum()))
+
+    @jax.jit
+    def null(fr):
+        return jnp.uint32(fr[0, 0])
+
+    int(null(x))
+    words, bits, maxw, over = jax.device_get(
+        jax.jit(lambda fr: encode_batch_pallas_tiled(spec, fr))(x)
+    )
+    assert not bool(np.any(over)), "2K soft capacity overflowed"
+    int(enc_sum(x))
+    rtt, measure = _rtt_timer(lambda: int(null(x)), reps)
+    t_enc, ts_enc = measure(lambda: int(enc_sum(x)))
+
+    arch = assemble_archive(spec, words, bits, maxw)
+    t0 = time.perf_counter()
+    widths, _poffs, wbuf = walk_archive(arch, spec)
+    walk_s = time.perf_counter() - t0
+    words_t, shift, prev0, ratio = tile_prepass(spec, widths, wbuf)
+    wt, wd = jnp.asarray(words_t), jnp.asarray(widths)
+    sh, pv = jnp.asarray(shift), jnp.asarray(prev0)
+
+    @jax.jit
+    def dec_sum(wt, wd, sh, pv):
+        o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv, False, ratio)
+        return jnp.uint32(jnp.sum(o[:, :: 65536])) + jnp.uint32(o[-1, -1])
+
+    int(dec_sum(wt, wd, sh, pv))
+    t_dec, ts_dec = measure(lambda: int(dec_sum(wt, wd, sh, pv)))
+    return dict(
+        rtt=rtt, enc_fps=F / t_enc, dec_fps=F / t_dec,
+        enc_gbs=F * n * 4 / t_enc / 1e9, dec_gbs=F * n * 4 / t_dec / 1e9,
+        walk_fps=F / walk_s, dec_ratio=ratio,
+        ts_enc=ts_enc, ts_dec=ts_dec,
+    )
 
 
 def main() -> None:
@@ -56,94 +236,60 @@ def main() -> None:
     except Exception:
         pass
 
-    from trpx_tpu.ops.coding import FrameSpec, encode_batch_device
-
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "?")
     print(f"device: {dev.platform} {kind}", file=sys.stderr)
+    sol = HBM_GBS.get(kind)
 
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-    h = w = 512
-    n = h * w
-    # 0.25 soft capacity: diffraction data compresses to ~0.21, and the
-    # validity check below asserts no overflow (overflow would fall back
-    # to the worst-case kernel in production)
-    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.25)
 
-    key = jax.random.PRNGKey(0)
-    n_full = spec.tree_rows * spec.block
-    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
-    lane = jnp.arange(n_full)[None, :]
-    x = jnp.where(lane < n, x, 0)
-    # ~200 hot pixels per frame, scattered via a cheap deterministic mask
-    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
-           < 200.0 / n)
-    x = jnp.where(hot & (lane < n), jnp.uint16(60000), x)
-    jax.block_until_ready(x)
-
-    kernel_name = "pallas-vmem"
-    try:
-        from trpx_tpu.ops.pallas_pack import encode_batch_pallas
-
-        @jax.jit
-        def step_sum(fr):
-            words, bits, maxw, over = encode_batch_pallas(spec, fr)
-            return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
-                    + jnp.uint32(over.sum()))
-
-        # compile + validity: the soft capacities must not overflow on
-        # the benchmark workload, else the timed result would be invalid
-        _, _, _, over0 = jax.device_get(encode_batch_pallas(spec, x))
-        assert not bool(np.any(over0)), "soft capacity overflowed"
-        int(step_sum(x))  # smoke
-    except Exception as e:  # pragma: no cover - backend-dependent
-        print(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
-              "falling back to jnp tree", file=sys.stderr)
-        kernel_name = "jnp-tree"
-        x = x[:, : spec.n_padded]  # jnp tree takes the block grid exactly
-
-        @jax.jit
-        def step_sum(fr):
-            words, bits, maxw, over = encode_batch_device(spec, fr)
-            return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
-                    + jnp.uint32(over.sum()))
-
-        int(step_sum(x))
-
-    @jax.jit
-    def null(fr):
-        return jnp.uint32(fr[0, 0])
-
-    int(null(x))
-    rtt = statistics.median(
-        (lambda t0: (int(null(x)), time.perf_counter() - t0)[1])(
-            time.perf_counter()
-        )
-        for _ in range(reps)
-    )
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        int(step_sum(x))
-        ts.append(time.perf_counter() - t0)
-    t = max(statistics.median(ts) - rtt, 1e-9)
-    fps = F / t
-    raw_gbs = F * n * 2 / t / 1e9
-    sol = HBM_GBS.get(kind)
-    sol_txt = f", {100 * raw_gbs / sol:.1f}% of HBM SoL ingest" if sol else ""
+    r5 = bench_512(jax, jnp, F, reps)
+    sol_txt = (f", {100 * r5['enc_gbs'] / sol:.1f}% of HBM SoL ingest"
+               if sol else "")
     print(
-        f"[{kernel_name}] encode: {fps:,.0f} frames/s "
-        f"({raw_gbs:.1f} GB/s raw in{sol_txt}); rtt {rtt * 1e3:.1f}ms; "
-        f"rep ms {[round(v * 1e3, 1) for v in ts]}",
+        f"[{r5['kernel']}] encode 512u16: {r5['enc_fps']:,.0f} frames/s "
+        f"({r5['enc_gbs']:.1f} GB/s raw in{sol_txt}); rtt {r5['rtt']*1e3:.1f}ms; "
+        f"rep ms {[round(v * 1e3, 1) for v in r5['ts_enc']]}",
+        file=sys.stderr,
+    )
+    print(
+        f"[{r5['dec_kernel']}] decode 512u16: {r5['dec_fps']:,.0f} frames/s "
+        f"({r5['dec_gbs']:.1f} GB/s raw out); host walk {r5['walk_fps']:,.0f} "
+        f"frames/s; rep ms {[round(v * 1e3, 1) for v in r5['ts_dec']]}",
         file=sys.stderr,
     )
 
+    try:
+        r2k = bench_2k(jax, jnp, max(3, min(reps, 5)))
+        print(
+            f"[tiled] encode 2048u32: {r2k['enc_fps']:,.1f} frames/s "
+            f"({r2k['enc_gbs']:.1f} GB/s); decode: {r2k['dec_fps']:,.1f} "
+            f"frames/s ({r2k['dec_gbs']:.1f} GB/s, bucket {r2k['dec_ratio']}); "
+            f"walk {r2k['walk_fps']:,.1f} frames/s; "
+            f"enc ms {[round(v*1e3) for v in r2k['ts_enc']]} "
+            f"dec ms {[round(v*1e3) for v in r2k['ts_dec']]}",
+            file=sys.stderr,
+        )
+        extra_2k = {
+            "encode_2048x2048_u32_frames_per_s": round(r2k["enc_fps"], 1),
+            "decode_2048x2048_u32_frames_per_s": round(r2k["dec_fps"], 1),
+            "encode_2048_vs_reference": round(r2k["enc_fps"] / REFERENCE_2K_FPS, 2),
+        }
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"2K bench unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        extra_2k = {}
+
     print(json.dumps({
         "metric": "encode_512x512_u16_frames_per_s",
-        "value": round(fps, 1),
+        "value": round(r5["enc_fps"], 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "vs_baseline": round(r5["enc_fps"] / REFERENCE_FPS, 2),
+        "decode_512x512_u16_frames_per_s": round(r5["dec_fps"], 1),
+        "decode_vs_reference": round(r5["dec_fps"] / REFERENCE_DECODE_FPS, 2),
+        "host_walk_frames_per_s": round(r5["walk_fps"], 1),
+        **extra_2k,
     }))
 
 

@@ -1,0 +1,64 @@
+"""Worker for the real multi-process distributed test (SURVEY §4(3)).
+
+Launched by tests/test_multiprocess.py as ``python multiproc_worker.py
+<port> <nproc> <pid> <outfile>``: each process initializes
+``jax.distributed`` against a local coordinator with 4 virtual CPU
+devices (global mesh = nproc × 4), encodes ITS OWN frame shard through
+``ShardedCodec.encode_shards`` (the one all_gather crosses processes),
+and pwrites its frames into the one shared output file at the absolute
+offsets derived from the replicated size table.
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    port, nproc, pid = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    outfile = sys.argv[4]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    import numpy as np
+
+    from trpx_tpu.ops.coding import FrameSpec
+    from trpx_tpu.parallel import ShardedCodec, default_mesh
+    from trpx_tpu.parallel.distributed import write_shard_file
+
+    # every process derives the SAME global input deterministically and
+    # feeds only its own slice (a real ingest pipeline would read its
+    # slice of the stack from shared storage)
+    F_global, n = 24, 600
+    rng = np.random.default_rng(123)
+    frames = rng.poisson(3.0, size=(F_global, n)).astype(np.uint16)
+    frames[rng.random((F_global, n)) < 0.002] = 60000
+
+    F_local = F_global // nproc
+    local = frames[pid * F_local : (pid + 1) * F_local]
+    spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.5)
+    codec = ShardedCodec(spec, default_mesh())
+    res = codec.encode_shards(local, F_global)
+    assert res.frame_lo == pid * F_local and res.frame_hi == (pid + 1) * F_local
+    write_shard_file(outfile, res, spec, F_global, dimensions=())
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("trpx-shard-written")
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

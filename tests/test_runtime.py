@@ -43,6 +43,7 @@ def test_streaming_resume(tmp_path):
     enc = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
     enc.add_frames(frames[:4])
     enc.add_frames(frames[4:8])
+    enc.flush()  # checkpoint both chunks (add_frames double-buffers)
     del enc  # "crash" after two checkpoints
 
     enc2 = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
@@ -59,11 +60,29 @@ def test_streaming_resume_truncates_torn_tail(tmp_path):
     p = tmp_path / "t.trpx"
     enc = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
     enc.add_frames(frames[:3])
+    enc.flush()
     # simulate a torn write past the checkpoint
     with open(tmp_path / "t.trpx.part", "ab") as f:
         f.write(b"\xff" * 17)
     enc2 = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
     enc2.add_frames(frames[3:])
+    enc2.finalize()
+    assert read_trpx(p).to_bytes() == pycodec.encode(list(frames)).to_bytes()
+
+
+def test_streaming_crash_loses_only_inflight_chunk(tmp_path):
+    """add_frames double-buffers: a crash loses at most the un-flushed
+    chunk, and resuming from frames_done re-encodes exactly it."""
+    rng = np.random.default_rng(5)
+    frames = _frames(rng, 12)
+    p = tmp_path / "d.trpx"
+    enc = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
+    enc.add_frames(frames[:4])
+    enc.add_frames(frames[4:8])  # flushes chunk 1, chunk 2 in flight
+    del enc
+    enc2 = StreamingEncoder(p, nvalues=50, dtype=np.uint16)
+    assert enc2.frames_done == 4  # in-flight chunk was lost
+    enc2.add_frames(frames[4:])
     enc2.finalize()
     assert read_trpx(p).to_bytes() == pycodec.encode(list(frames)).to_bytes()
 

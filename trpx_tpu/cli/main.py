@@ -297,6 +297,12 @@ def main(argv=None) -> int:
                        help="square frame edge (default 512)")
     bench.add_argument("--profile", type=str, default=None, metavar="DIR",
                        help="write a jax.profiler trace to DIR")
+    bench.add_argument("--e2e", action="store_true",
+                       help="also time the full TIFF->.trpx pipeline on a "
+                            "real file (read + encode + write, overlapped "
+                            "via the streaming encoder)")
+    bench.add_argument("--chunk-frames", type=int, default=64,
+                       help="frames per device batch in --e2e mode")
     bench.set_defaults(fn=_bench)
     args = p.parse_args(argv)
     return args.fn(args)
@@ -338,7 +344,41 @@ def _bench(args) -> int:
     )
     print(report.summary())
     print(report.to_json())
+    if args.e2e:
+        _bench_e2e(args, frames)
     return 0
+
+
+def _bench_e2e(args, frames) -> None:
+    """End-to-end TIFF -> .trpx wall time on a real file (the reference
+    CLI's whole pipeline is end-to-end, terse.cpp:94-102): memory-mapped
+    TIFF read + double-buffered streaming device encode + payload write."""
+    import tempfile
+
+    from ..io.tiff import TiffStream
+    from ..runtime.stream import StreamingEncoder
+
+    h = w = args.size
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "stack.tif"
+        with open(src, "wb") as f:
+            write_tiff(frames, f)
+        dst = Path(td) / "stack.trpx"
+        t0 = time.perf_counter()
+        ts = TiffStream(src)
+        enc = StreamingEncoder(dst, nvalues=w * h,
+                               dtype=ts.infos[0].dtype.newbyteorder("="),
+                               dimensions=(w, h), sync_every_chunk=False)
+        for lo in range(0, len(ts), args.chunk_frames):
+            chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))
+            enc.add_frames(chunk.reshape(chunk.shape[0], -1))
+        enc.finalize()
+        e2e = time.perf_counter() - t0
+        comp = dst.stat().st_size
+    fps = args.frames / e2e
+    gbs = frames.nbytes / e2e / 1e9
+    print(f"e2e TIFF->trpx : {fps:,.1f} frames/s ({gbs:.2f} GB/s raw in, "
+          f"{e2e:.3f} s wall, {1 - comp / frames.nbytes:.1%} reduction)")
 
 
 if __name__ == "__main__":

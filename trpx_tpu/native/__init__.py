@@ -143,6 +143,45 @@ def walk(payload: bytes, nframes: int, nvalues: int, block: int):
     return widths, poffs, fstarts
 
 
+def padded_buffer(payload: bytes) -> np.ndarray:
+    """Payload as a uint8 array with the SLACK bytes the 16-byte-window
+    bit reader needs — build once, then walk chunks against it."""
+    return _padded_payload(payload)
+
+
+def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
+               block: int):
+    """Header walk of ``nframes`` frames starting at byte ``start`` of a
+    ``padded_buffer`` array.
+
+    The chunk walks are serially dependent (chunk k+1 starts where chunk
+    k ended) but each call returns quickly, so callers overlap the next
+    chunk's walk with the device unpack of the previous one
+    (runtime/stream.iter_decode).
+
+    Returns (widths (nf, nb) int32, poffs (nf, nb) int64 bit offsets
+    relative to ``start``, fstarts (nf+1,) int64 byte offsets relative to
+    ``start``).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nb = -(-nvalues // block)
+    sub = buf[start:]
+    payload_len = buf.shape[0] - SLACK - start
+    widths = np.empty((nframes, nb), dtype=np.int32)
+    poffs = np.empty((nframes, nb), dtype=np.int64)
+    fstarts = np.empty(nframes + 1, dtype=np.int64)
+    rc = lib.trpx_walk(
+        _ptr(sub, ctypes.c_uint8), payload_len, nframes, nvalues, block,
+        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        _ptr(fstarts, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("malformed TRPX payload: header walk ran past end")
+    return widths, poffs, fstarts
+
+
 def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
                  block: int):
     """Parallel header walk given known per-frame byte offsets (OpenMP).

@@ -571,7 +571,11 @@ def _best_decoder():
     it) and passes it through."""
     try:
         if jax.default_backend() == "tpu":
-            from .pallas_unpack import choose_ratio, decode_batch_pallas
+            from .pallas_unpack import (
+                choose_ratio,
+                decode_batch_pallas,
+                decode_tiled_host,
+            )
 
             def run(spec, words, widths, poffs, ratio=None):
                 if spec.pallas_ok:
@@ -586,6 +590,11 @@ def _best_decoder():
                         spec, jnp.asarray(words), jnp.asarray(widths),
                         False, ratio,
                     )
+                if isinstance(widths, np.ndarray):
+                    # big frames (2K/4K): per-tile VMEM split trees; the
+                    # prepass needs concrete tables, so traced widths
+                    # (inside shard_map) keep the jnp tree below
+                    return decode_tiled_host(spec, words, widths)
                 return decode_batch_device(spec, words, widths, poffs)
 
             return run

@@ -54,23 +54,45 @@ def _node_cap_words(child_blocks: int, mbb: int, cap0: int,
 
 
 def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
-            words_ref, widths_ref, out_ref):
+            words_ref, widths_ref, out_ref, shift_ref=None,
+            prev_ref=None, n_total: int | None = None):
+    """One frame — or one TILE of a big frame when ``shift_ref``/
+    ``prev_ref``/``n_total`` are provided and the grid is (F, T): the
+    tile's word window starts ``shift`` bits before the tile stream
+    (host-aligned to the word), the repeat-coding chain enters with the
+    previous tile's last width, and block indices shift by t*P into the
+    global frame (mirrors pallas_pack's tiled encode)."""
     B = spec.block
     P = spec.tree_rows
-    nb = spec.nb
     cap = _round_up(row_capacity(spec.max_block_bits), 8)
     L = min(128, P)
     R = P // L
 
-    width = widths_ref[0]                                   # (R, L) int32
+    tiled = prev_ref is not None
+    if tiled:
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        block_offset = t * P
+        prev0 = prev_ref[f, t].astype(_I32)
+        width = widths_ref[0, 0]                            # (R, L) int32
+    else:
+        block_offset = None
+        prev0 = _I32(0)
+        width = widths_ref[0]                               # (R, L) int32
+    n_lim = spec.n if n_total is None else n_total
+    nb_lim = -(-n_lim // B)
+
     r_iota = jax.lax.broadcasted_iota(_I32, (R, L), 0)
     l_iota = jax.lax.broadcasted_iota(_I32, (R, L), 1)
     bidx = r_iota + R * l_iota
-    real = bidx < nb
-    counts = jnp.clip(spec.n - bidx * B, 0, B)
+    if block_offset is not None:
+        bidx = bidx + block_offset
+    real = bidx < nb_lim
+    width = jnp.where(real, width, _I32(0))
+    counts = jnp.clip(n_lim - bidx * B, 0, B)
     # header bits from width repeats (Terse.hpp:517-535); lane wrap at r=0
     top = jnp.roll(width[R - 1 : R], 1, axis=1)
-    top = jnp.where(l_iota[:1] == 0, _I32(0), top)
+    top = jnp.where(l_iota[:1] == 0, prev0, top)
     if R > 1:
         prev = jnp.concatenate([top, width[:-1]], axis=0)
     else:
@@ -122,7 +144,15 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     # ---- phase 2 inverse: top-down row-pair splits ----------------------
     # Child capacity is the worst case for its block count, clamped at the
     # parent (streams are size-bucketed, so capacities don't just halve).
-    rows = words_ref[0]                                     # (1, w_pad)
+    if tiled:
+        rows = words_ref[0, 0]                              # (1, w_pad)
+        # the tile's bit stream starts ``shift`` (in [0, 32)) bits into
+        # the word-aligned window the host handed us: one funnel pass
+        s0 = shift_ref[f, t].astype(_U32)
+        nxt0 = roll_down(rows, 1, 1)
+        rows = (rows >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
+    else:
+        rows = words_ref[0]                                 # (1, w_pad)
     C = w_pad
     Pn = 1
     for la_p in reversed(la_p2):
@@ -240,25 +270,21 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             )
             ext = jnp.where((width < 32) & (topb == 1), ~wmask, _U32(0))
             u = u | ext
-        out_ref[0, j] = jax.lax.bitcast_convert_type(u, _I32)
+        if tiled:
+            out_ref[0, 0, j] = jax.lax.bitcast_convert_type(u, _I32)
+        else:
+            out_ref[0, j] = jax.lax.bitcast_convert_type(u, _I32)
 
 
 #: capacity buckets the host chooses among (recompiles bounded to 3)
 _RATIO_BUCKETS = (0.25, 0.5)
 
 
-def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
-    """Pick the smallest capacity bucket PROVEN to fit every split node.
-
-    widths: (F, nb) int32 from the header walk (host numpy). Derives the
-    per-block bit lengths, then per level checks the max node length
-    against that bucket's capacities. Falls back to 1.0 (worst case)."""
-    mbb = spec.max_block_bits
-    cap0 = _round_up(row_capacity(mbb), 8)
+def block_bits_host(spec: FrameSpec, widths: np.ndarray) -> np.ndarray:
+    """Exact per-block bit lengths (host numpy int64) from the walk's
+    (F, nb) width tables — header length from the frame-level repeat
+    chain (Terse.hpp:517-535) plus width × count payload."""
     B = spec.block
-    P = spec.tree_rows
-    L = min(128, P)
-    R = P // L
     F, nb = widths.shape
     w = widths.astype(np.int64)
     prev = np.concatenate([np.zeros((F, 1), np.int64), w[:, :-1]], axis=1)
@@ -266,18 +292,28 @@ def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
     counts = np.minimum(
         B, np.maximum(0, spec.n - np.arange(nb, dtype=np.int64) * B)
     )[None, :]
-    bits = hb + w * counts                                   # (F, nb)
-    if nb < P:
-        bits = np.concatenate(
-            [bits, np.zeros((F, P - nb), np.int64)], axis=1
-        )
+    return hb + w * counts                                   # (F, nb)
+
+
+def _prove_ratio(bits: np.ndarray, spec: FrameSpec) -> float:
+    """Smallest capacity bucket PROVEN to fit every split-tree node.
+
+    bits: (N, P) exact per-block bit lengths for N independent trees of
+    P = spec.tree_rows blocks each (frames, or tiles of big frames).
+    Node pairing matches the kernel: contiguous aligned block groups."""
+    mbb = spec.max_block_bits
+    cap0 = _round_up(row_capacity(mbb), 8)
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    N = bits.shape[0]
     for ratio in _RATIO_BUCKETS:
         node = bits
         cb = 1
         ok = True
         while cb < P:
             cb *= 2
-            node = node.reshape(F, P // cb, 2).sum(axis=2)
+            node = node.reshape(N, P // cb, 2).sum(axis=2)
             align = 128 if cb >= R else 8
             capw = _round_up(_node_cap_words(cb, mbb, cap0, ratio), align)
             if node.max(initial=0) > capw * 32 - 31:
@@ -286,6 +322,19 @@ def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
         if ok:
             return ratio
     return 1.0
+
+
+def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
+    """Proven capacity bucket for whole-frame VMEM decode (1.0 = worst
+    case when no smaller bucket is provable)."""
+    P = spec.tree_rows
+    bits = block_bits_host(spec, widths)
+    F, nb = bits.shape
+    if nb < P:
+        bits = np.concatenate(
+            [bits, np.zeros((F, P - nb), np.int64)], axis=1
+        )
+    return _prove_ratio(bits, spec)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -339,6 +388,146 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     return out.transpose(0, 3, 2, 1).reshape(F, P * B)[:, : spec.n_padded]
 
 
+#: blocks per tile for big-frame decodes — matches pallas_pack.TILE_BLOCKS
+TILE_BLOCKS = 32768
+
+
+def _tile_spec(spec: FrameSpec, tile_blocks: int) -> FrameSpec:
+    return FrameSpec(n=tile_blocks * spec.block, block=spec.block,
+                     signed=spec.signed, max_width=spec.max_width,
+                     cap_ratio=spec.cap_ratio)
+
+
+def tile_prepass(spec: FrameSpec, widths: np.ndarray, words: np.ndarray,
+                 tile_blocks: int | None = None):
+    """Host prepass for big-frame decode: slice each frame's word stream
+    into per-tile word-aligned windows.
+
+    Tile boundaries are exactly computable from the walk's width tables
+    (the per-block bit lengths are determined, SURVEY §7), so unlike the
+    encoder there is no cross-tile packing state to carry — only the
+    repeat-coding width chain (``prev0``) and the sub-word bit shift of
+    each tile's first bit within its window.
+
+    widths: (F, nb) int32; words: (F, W) uint32 (walk_archive output).
+    Returns (words_t (F, T, Wt) uint32, shift (F, T) int32,
+    prev0 (F, T) int32, ratio float).
+    """
+    Tb = tile_blocks if tile_blocks is not None else TILE_BLOCKS
+    F, nb = widths.shape
+    T = -(-spec.nb // Tb)
+    bits = block_bits_host(spec, widths)                    # (F, nb) int64
+    bits_p = np.zeros((F, T * Tb), np.int64)
+    bits_p[:, :nb] = bits
+    tile_bits = bits_p.reshape(F, T, Tb).sum(axis=2)        # (F, T)
+    off = np.zeros((F, T), np.int64)
+    np.cumsum(tile_bits[:, :-1], axis=1, out=off[:, 1:])
+    shift = (off & 31).astype(np.int32)
+    ws = off >> 5
+    need = int(((shift + tile_bits + 31) // 32).max(initial=1)) + 1
+    Wt = 128
+    while Wt < need:
+        Wt *= 2
+    W = words.shape[1]
+    Wt = min(Wt, 1 << (int(W - 1).bit_length()))
+    words_t = np.zeros((F, T, Wt), np.uint32)
+    for f in range(F):
+        for t in range(T):
+            s = int(ws[f, t])
+            k = min(Wt, W - s)
+            if k > 0:
+                words_t[f, t, :k] = words[f, s : s + k]
+    prev0 = np.zeros((F, T), np.int32)
+    if T > 1:
+        prev0[:, 1:] = widths[:, Tb - 1 : (T - 1) * Tb : Tb]
+    ratio = _prove_ratio(bits_p.reshape(F * T, Tb), _tile_spec(spec, Tb))
+    return words_t, shift, prev0, ratio
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def decode_batch_pallas_tiled(
+    spec: FrameSpec,
+    words_t: jax.Array,
+    widths: jax.Array,
+    shift: jax.Array,
+    prev0: jax.Array,
+    interpret: bool = False,
+    ratio: float = 1.0,
+    tile_blocks: int = TILE_BLOCKS,
+):
+    """Pallas decode of frames whose whole-frame split tree exceeds VMEM
+    (2K/4K detectors): per-tile VMEM split trees on a (F, T) grid.
+
+    words_t: (F, T, Wt) uint32 — per-tile word windows (tile_prepass)
+    widths:  (F, nb) int32 — per-block widths from the header walk
+    shift:   (F, T) int32 — bit offset of each tile's stream in its window
+    prev0:   (F, T) int32 — previous tile's last block width
+    Returns (F, n_padded) int32 values (sign-extended iff spec.signed).
+    """
+    F, T, Wt = words_t.shape
+    B = spec.block
+    Tb = tile_blocks
+    tspec = _tile_spec(spec, Tb)
+    L = min(128, Tb)
+    R = Tb // L
+    w_pad = _round_up(max(Wt, 128), 128)
+    if w_pad > Wt:
+        words_t = jnp.concatenate(
+            [words_t, jnp.zeros((F, T, w_pad - Wt), jnp.uint32)], axis=2
+        )
+    widths_p = widths
+    if widths.shape[1] < T * Tb:
+        widths_p = jnp.concatenate(
+            [widths,
+             jnp.zeros((F, T * Tb - widths.shape[1]), jnp.int32)],
+            axis=1,
+        )
+    # (F, T*Tb) -> (F, T, R, L) planes with [r, l] = tile block r + R*l
+    wplanes = widths_p.reshape(F, T, L, R).transpose(0, 1, 3, 2)
+
+    kernel = functools.partial(_kernel, tspec, w_pad, ratio,
+                               n_total=spec.n)
+    out = pl.pallas_call(
+        lambda w, wd, sh, pv, o: kernel(w, wd, o, shift_ref=sh,
+                                        prev_ref=pv),
+        grid=(F, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, w_pad), lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, L), lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, T), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B, R, L),
+                               lambda f, t: (f, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, T, B, R, L), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(words_t[:, :, None, :], wplanes, shift, prev0)
+    # [f, t, j, r, l] -> value index B*(t*Tb + r + R*l) + j
+    return out.transpose(0, 1, 4, 3, 2).reshape(F, T * Tb * B)[
+        :, : spec.n_padded
+    ]
+
+
+def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
+                      widths: np.ndarray, interpret: bool = False,
+                      tile_blocks: int | None = None) -> jax.Array:
+    """Prepass + tiled kernel launch from walk_archive's host tables."""
+    Tb = tile_blocks if tile_blocks is not None else TILE_BLOCKS
+    words_t, shift, prev0, ratio = tile_prepass(spec, widths, words, Tb)
+    return decode_batch_pallas_tiled(
+        spec, jnp.asarray(words_t), jnp.asarray(widths),
+        jnp.asarray(shift), jnp.asarray(prev0), interpret, ratio, Tb
+    )
+
+
 def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     """Host wrapper: native header walk + Pallas unpack -> (F, n)."""
     from .coding import narrow_values, walk_archive
@@ -347,11 +536,11 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     widths, _poffs, words = walk_archive(archive, spec)
-    ratio = choose_ratio(spec, widths)
-    vals = np.asarray(
-        jax.device_get(
-            decode_batch_pallas(spec, jnp.asarray(words),
-                                jnp.asarray(widths), interpret, ratio)
-        )
-    )[:, : meta.number_of_values]
+    if spec.pallas_ok:
+        ratio = choose_ratio(spec, widths)
+        out = decode_batch_pallas(spec, jnp.asarray(words),
+                                  jnp.asarray(widths), interpret, ratio)
+    else:
+        out = decode_tiled_host(spec, words, widths, interpret)
+    vals = np.asarray(jax.device_get(out))[:, : meta.number_of_values]
     return narrow_values(vals, dtype)

@@ -130,9 +130,16 @@ class StreamingEncoder:
         return self.m.frames_done
 
     def add_frames(self, frames: np.ndarray) -> None:
-        """Encode one chunk of (F, nvalues) frames and append the payload."""
-        import jax
+        """Encode one chunk of (F, nvalues) frames and append the payload.
 
+        Double-buffered: the device encode of THIS chunk is dispatched
+        asynchronously, then the previous chunk's results are fetched and
+        written — so the host's read/pad/write of chunk k±1 overlaps the
+        device compute of chunk k. The manifest checkpoint therefore lags
+        one chunk behind ``add_frames`` calls until :meth:`flush`/
+        :meth:`finalize`; resume via ``frames_done`` stays correct (the
+        un-flushed chunk is simply re-encoded after a crash).
+        """
         from ..ops.coding import _best_encoder
 
         run = _best_encoder()
@@ -144,11 +151,31 @@ class StreamingEncoder:
             raise ValueError("chunk shape/dtype does not match the stream")
         padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
         padded[:, : self.spec.n] = frames
-        spec = self.spec
-        words, bits, maxw, over = jax.device_get(run(spec, padded))
-        if spec.cap_ratio < 1.0 and bool(np.any(over)):
-            spec = spec.with_ratio(1.0)
-            words, bits, maxw, over = jax.device_get(run(spec, padded))
+        out = run(self.spec, padded)  # async dispatch
+        prev, self._pending = getattr(self, "_pending", None), (out, padded, F)
+        if prev is not None:
+            self._write_chunk(prev)
+
+    def flush(self) -> None:
+        """Drain the in-flight chunk and checkpoint it."""
+        pending = getattr(self, "_pending", None)
+        self._pending = None
+        if pending is not None:
+            self._write_chunk(pending)
+
+    def _write_chunk(self, pending) -> None:
+        import jax
+
+        from ..ops.coding import _best_encoder
+
+        out, padded, F = pending
+        words, bits, maxw, over = jax.device_get(out)
+        if self.spec.cap_ratio < 1.0 and bool(np.any(over)):
+            # optimistic capacities overflowed: redo with the worst case
+            run = _best_encoder()
+            words, bits, maxw, over = jax.device_get(
+                run(self.spec.with_ratio(1.0), padded)
+            )
         words = np.ascontiguousarray(words)
         byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
         offs = np.empty(F, dtype="<u8")
@@ -188,6 +215,7 @@ class StreamingEncoder:
         re-walking every frame header; ``index=True`` writes the
         ``.trpx.idx`` sidecar (offsets were accumulated per chunk, so
         this costs nothing); then drop the temporaries."""
+        self.flush()  # drain the double-buffered in-flight chunk
         header = emit_header(self.meta())
         tmp = self.path.with_name(self.path.name + ".tmp")
         with open(tmp, "wb") as out, open(self.part, "rb") as part:
@@ -223,12 +251,21 @@ class StreamingEncoder:
 def iter_decode(archive, dtype, chunk_frames: int = 256):
     """Stream-decode an archive in chunks: yields (F_chunk, n) arrays.
 
-    Bounds peak memory to one chunk of frames regardless of stack length.
+    Pipelined: the device unpack of chunk *k* is dispatched asynchronously,
+    then the (serial, native C++) header walk of chunk *k*+1 runs on the
+    host while the device drains — so foreign archives without a sidecar
+    index aren't bound by the serial walk (the reference's whole decode is
+    serial, Terse.hpp:352-389). Peak memory ~2 chunks.
     """
-    from ..format.pycodec import TrpxArchive
-    from ..ops.coding import decode_batch_device, walk_archive
-
     import jax
+
+    from ..format.pycodec import TrpxArchive
+    from ..ops.coding import (
+        _best_decoder,
+        decode_batch_device,
+        narrow_values,
+        walk_archive,
+    )
 
     if not isinstance(archive, TrpxArchive):
         from ..io.trpx import read_trpx
@@ -237,17 +274,66 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
     dtype = np.dtype(dtype)
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
-    widths, poffs, words = walk_archive(archive, spec)
     F = meta.number_of_frames
-    for lo in range(0, F, chunk_frames):
-        hi = min(F, lo + chunk_frames)
-        vals = np.asarray(
-            jax.device_get(
-                decode_batch_device(
-                    spec, words[lo:hi], widths[lo:hi], poffs[lo:hi]
-                )
-            )
-        )[:, : meta.number_of_values]
-        from ..ops.coding import narrow_values
+    n = meta.number_of_values
+    C = min(chunk_frames, F)
+    try:
+        from .. import native
 
-        yield narrow_values(vals, dtype)
+        use_native = native.available()
+    except Exception:
+        use_native = False
+
+    if not use_native:
+        # no native walker: single full walk, chunked device unpack
+        widths, poffs, words = walk_archive(archive, spec)
+        for lo in range(0, F, C):
+            hi = min(F, lo + C)
+            vals = np.asarray(
+                jax.device_get(
+                    decode_batch_device(
+                        spec, words[lo:hi], widths[lo:hi], poffs[lo:hi]
+                    )
+                )
+            )[:, :n]
+            yield narrow_values(vals, dtype)
+        return
+
+    run = _best_decoder()
+    buf = native.padded_buffer(archive.payload)
+    payload_len = buf.shape[0] - native.SLACK
+    pos = 0
+    pending = None  # (device result, real frame count)
+
+    def _drain(p):
+        vals = np.asarray(jax.device_get(p[0]))[: p[1], :n]
+        return narrow_values(vals, dtype)
+
+    for lo in range(0, F, C):
+        nf = min(C, F - lo)
+        widths_c, _poffs_c, fstarts = native.walk_chunk(
+            buf, pos, nf, n, spec.block
+        )
+        sizes = fstarts[1:] - fstarts[:-1]
+        # bucket the word capacity (pow2) to bound recompiles
+        cap_words = 2
+        need = int(sizes.max(initial=1)) + 8
+        while cap_words * 4 < need:
+            cap_words *= 2
+        cap_words = min(cap_words, spec.n_words)
+        words = np.zeros((C, cap_words), np.uint32)
+        bv = words.view(np.uint8).reshape(C, -1)
+        for i in range(nf):
+            s = pos + int(fstarts[i])
+            e = min(pos + int(fstarts[i + 1]), payload_len)
+            bv[i, : e - s] = buf[s:e]
+        widths_p = np.zeros((C, spec.nb), np.int32)
+        widths_p[:nf] = widths_c
+        fut = run(spec, words, widths_p,
+                  np.zeros((C, spec.nb), np.int32))
+        if pending is not None:
+            yield _drain(pending)  # walk of THIS chunk already overlapped
+        pending = (fut, nf)
+        pos += int(fstarts[nf])
+    if pending is not None:
+        yield _drain(pending)
