@@ -51,7 +51,20 @@ def main() -> int:
     codec = ShardedCodec(spec, default_mesh())
     res = codec.encode_shards(local, F_global)
     assert res.frame_lo == pid * F_local and res.frame_hi == (pid + 1) * F_local
-    write_shard_file(outfile, res, spec, F_global, dimensions=())
+    crash = os.environ.get("TRPX_TEST_CRASH_PID")
+    if crash is not None and int(crash) == pid:
+        # fault injection: this host "dies" after the collective but
+        # BEFORE writing its shard (tests recover_shard)
+        from trpx_tpu.parallel.distributed import write_run_manifest
+
+        if pid == 0:
+            write_run_manifest(outfile, res, spec, F_global)
+    else:
+        write_shard_file(outfile, res, spec, F_global, dimensions=())
+        from trpx_tpu.parallel.distributed import write_run_manifest
+
+        if pid == 0:
+            write_run_manifest(outfile, res, spec, F_global)
 
     from jax.experimental import multihost_utils
 

@@ -177,3 +177,46 @@ def test_reference_roundtrip_multiframe_stack(tmp_path, reference_cli):
     assert arch.meta.number_of_frames == 3
     dec = pycodec.decode(arch, np.uint16).reshape(frames.shape)
     np.testing.assert_array_equal(dec, frames)
+
+
+def test_regularize_mixed_dtype_stack():
+    """Grey_tif<T>::f_regularize parity (Grey_tif.hpp:627-673)."""
+    from trpx_tpu.io.tiff import TiffStack
+
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    b = (np.arange(12, dtype=np.uint16) * 100).reshape(3, 4)
+    st = TiffStack(images=[a, b])
+    assert not st.uniform()
+    st.regularize()  # lossless promotion -> uint16
+    assert st.uniform() and st[0].dtype == np.uint16
+    np.testing.assert_array_equal(st[0], a.astype(np.uint16))
+    np.testing.assert_array_equal(st[1], b)
+
+    # same-size integral conversion REINTERPRETS bit patterns (:636-651)
+    c = np.array([[-1, 2]], dtype=np.int16)
+    st2 = TiffStack(images=[c.copy()]).regularize(np.uint16)
+    assert st2[0].dtype == np.uint16 and st2[0][0, 0] == 0xFFFF
+
+    # float -> int truncates through the integer lane (:645-650)
+    f = np.array([[3.7, -2.9]], dtype=np.float32)
+    st3 = TiffStack(images=[f]).regularize(np.int32)
+    np.testing.assert_array_equal(st3[0], np.array([[3, -2]], np.int32))
+
+
+def test_cli_encodes_mixed_dtype_stack(tmp_path):
+    """A shape-uniform, dtype-mixed TIFF encodes via regularization."""
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io.tiff import write_tiff
+    from trpx_tpu.io.trpx import read_trpx
+    from trpx_tpu import api
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    b = (np.arange(64, dtype=np.uint16) * 7).reshape(8, 8)
+    src = tmp_path / "mix.tif"
+    with open(src, "wb") as fh:
+        write_tiff([a, b], fh)
+    assert terse_main([str(src), "--host"]) == 0
+    arch = read_trpx(src.with_suffix(".trpx"))
+    out = api.decompress(arch, device=False)
+    np.testing.assert_array_equal(out[0], a.astype(np.uint16).reshape(8, 8))
+    np.testing.assert_array_equal(out[1], b)

@@ -33,10 +33,8 @@ def measure(mesh: Mesh, spec: FrameSpec, frames_per_dev: int, reps: int = 5):
 
     @jax.jit
     def step_sum(v):
-        words, nbytes, offsets, total, prolix, over = _encode_sharded_jit(
-            spec, mesh, v
-        )
-        return total + prolix
+        words, nbytes, prolix, over = _encode_sharded_jit(spec, mesh, v)
+        return jnp.sum(nbytes) + prolix
 
     @jax.jit
     def null(v):

@@ -156,9 +156,16 @@ def _encode_files(args) -> int:
             stack = read_tiff(src)
             t1 = time.perf_counter()
             if not stack.uniform():
-                raise ValueError(
-                    "TIFF file contains a stack of images with varying sizes."
-                )
+                if len({im.shape for im in stack}) == 1:
+                    # mixed-dtype stack: regularize to a lossless common
+                    # type (Grey_tif<T>::f_regularize parity,
+                    # Grey_tif.hpp:627-673; see COMPONENTS.md ledger)
+                    stack.regularize()
+                else:
+                    raise ValueError(
+                        "TIFF file contains a stack of images with "
+                        "varying sizes."
+                    )
             frames = stack.as_array()
             total_tif += frames.nbytes
             archive = api.compress(

@@ -104,6 +104,40 @@ class TiffStack:
             raise TiffError("stack images differ in shape or dtype")
         return np.stack(self.images)
 
+    def regularize(self, dtype=None) -> "TiffStack":
+        """Convert every image to one dtype in place, mirroring
+        ``Grey_tif<T>::f_regularize`` (Grey_tif.hpp:627-673):
+
+        * same-itemsize integral→integral conversion REINTERPRETS the bit
+          patterns (the reference just relabels the buffer, :636-651);
+        * integral↔float of the same size converts values
+          (``static_cast`` through the reinterpreted lane, :639-650);
+        * different sizes copy with C++ integral-conversion semantics
+          (wrap on narrowing, truncate on float→int — ``std::copy_n``
+          :655-668).
+
+        ``dtype=None`` regularizes to ``np.result_type`` of the stack (a
+        lossless promotion — the reference's template parameter T plays
+        that role for typed instances; its byte-typed CLI never
+        regularizes, see COMPONENTS.md divergence ledger).
+        """
+        if dtype is None:
+            dtype = np.result_type(*[im.dtype for im in self.images])
+        dtype = np.dtype(dtype)
+        out = []
+        for im in self.images:
+            if im.dtype == dtype:
+                out.append(im)
+            elif (im.dtype.itemsize == dtype.itemsize
+                    and im.dtype.kind in "iu" and dtype.kind in "iu"):
+                out.append(im.view(dtype))
+            elif im.dtype.kind == "f" and dtype.kind in "iu":
+                out.append(im.astype(np.int64).astype(dtype))
+            else:
+                out.append(im.astype(dtype))
+        self.images = out
+        return self
+
 
 def _read_val(data: bytes, fmt_u16: str, fmt_u32: str, entry: bytes,
               base: memoryview):

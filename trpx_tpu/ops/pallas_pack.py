@@ -109,9 +109,14 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
 
 
 def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
-            over_ref, prev_ref=None, n_total: int | None = None):
+            over_ref, prev_ref=None, n_total: int | None = None,
+            cut: int | None = None):
     """One frame (or one TILE of a big frame, when ``prev_ref``/``n_total``
-    are provided and the grid is (F, T))."""
+    are provided and the grid is (F, T)).
+
+    ``cut`` (ablation only, tools/tpu_ablate.py): stop after that many
+    merge levels (0 = stage only, -1 = plan only) and emit a checksum —
+    times where the kernel's ms go."""
     B = spec.block
     P = spec.tree_rows
     # sublane-align the level-0 capacity (e.g. uint8's 4 words -> 8)
@@ -142,6 +147,22 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
         spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
         prev0=prev0,
     )
+
+    def _emit_cut(chk):
+        # ablation early-exit: a full-tensor checksum (so nothing traced
+        # so far is dead-code-eliminated) splattered over the outputs
+        ow = words_ref.shape[-1]
+        words_ref[0, :, :] = jnp.broadcast_to(
+            chk.astype(_U32)[None, None], (1, ow)
+        )
+        bits_ref[f, 0] = _I32(0)
+        maxw_ref[f, 0] = jnp.max(width)
+        over_ref[f, 0] = _I32(0)
+
+    if cut is not None and cut < 0:  # plan only
+        _emit_cut(jnp.sum(width + hb + counts)
+                  + jnp.sum(hv.astype(_I32)))
+        return
 
     wmask = jnp.where(
         width >= 32,
@@ -182,6 +203,10 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
             cols[i] = cols[i] | contrib
     state = jnp.stack(cols, axis=1)                         # (R, cap, L)
     lengths = (hb + width * counts).astype(_I32)            # (R, L)
+    if cut == 0:  # stage only
+        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
+                  + jnp.sum(lengths))
+        return
 
     overflow = jnp.zeros((), bool)
     C = cap
@@ -235,6 +260,10 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
                 overflow = overflow | jnp.any(lengths > c * 32 - 31)
                 state = state[:, :c, :]
                 C = c
+        if cut is not None and level >= cut:
+            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
+                      + jnp.sum(lengths))
+            return
 
     # ---- transition: 128 lane-trees -> rows (L, C128) -------------------
     C128 = _round_up(C, 128)
@@ -292,6 +321,10 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
                 overflow = overflow | jnp.any(lp[:, :1] > c * 32 - 31)
                 rows = rows[:, :c]
                 C = c
+        if cut is not None and level >= cut:
+            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows, _I32))
+                      + jnp.sum(lp))
+            return
 
     words2 = rows[:1, :]                                    # (1, C_final)
     ow_pad = words_ref.shape[-1]
@@ -318,13 +351,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
-                        interpret: bool = False):
+                        interpret: bool = False, cut: int | None = None):
     """Pallas encode of a (F, n_padded) batch.
 
     Returns (words (F, out_words), bits (F,), maxw (F,), over (F,)) —
-    the same contract as ops.coding.encode_batch_device.
+    the same contract as ops.coding.encode_batch_device. ``cut`` is the
+    ablation early-exit (see _kernel); production callers leave it None.
     """
     F = frames.shape[0]
     B = spec.block
@@ -342,7 +376,7 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
     out_words = spec.out_words
     ow_pad = _round_up(out_words, 128)
 
-    kernel = functools.partial(_kernel, spec)
+    kernel = functools.partial(_kernel, spec, cut=cut)
     words, bits, maxw, over = pl.pallas_call(
         kernel,
         grid=(F,),

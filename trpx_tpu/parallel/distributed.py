@@ -151,3 +151,88 @@ def _real_total(result: ShardResult, n_frames: int) -> int:
     """Payload size of the REAL frames only — mesh-padding zero frames at
     the tail are excluded so the archive matches the reference byte count."""
     return int(result.offsets[n_frames - 1] + result.nbytes[n_frames - 1])
+
+
+# ------------------------------------------------------- elastic recovery ---
+
+
+def write_run_manifest(
+    path,
+    result: ShardResult,
+    spec: FrameSpec,
+    n_frames: int,
+    dimensions: tuple[int, ...] = (),
+) -> None:
+    """Persist the replicated size table next to the shared output file
+    (coordinator only, typically). Encode is deterministic and stateless
+    per frame, so this manifest is everything a restarted host needs to
+    re-encode and re-write its shard WITHOUT any collective — the elastic
+    recovery path (SURVEY §5: re-enqueue unfinished frame ranges)."""
+    import json
+
+    m = {
+        "nbytes": [int(v) for v in result.nbytes[:n_frames]],
+        "prolix_bits": int(result.prolix_bits),
+        "n_frames": int(n_frames),
+        "nvalues": int(spec.n),
+        "block": int(spec.block),
+        "signed": bool(spec.signed),
+        "max_width": int(spec.max_width),
+        "dimensions": list(dimensions),
+    }
+    mp = str(path) + ".runmanifest"
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, mp)
+
+
+def recover_shard(path, frames_local: np.ndarray, frame_lo: int) -> None:
+    """Re-encode one failed host's frame range and pwrite it into the
+    shared file, using only the run manifest (no live collective).
+
+    Raises if the re-encoded per-frame sizes disagree with the manifest —
+    that would mean the input frames differ from the original run."""
+    import json
+
+    import jax
+
+    from ..ops.coding import FrameSpec as FS
+    from ..ops.coding import _best_encoder
+
+    with open(str(path) + ".runmanifest") as f:
+        m = json.load(f)
+    dtype_bits = m["max_width"] - (1 if m["signed"] else 0)
+    dtype = np.dtype(
+        ("i" if m["signed"] else "u") + str(max(1, dtype_bits // 8))
+    )
+    spec = FS.for_dtype(m["nvalues"], dtype, m["block"], cap_ratio=0.5)
+    F_local = frames_local.shape[0]
+    padded = np.zeros((F_local, spec.n_padded), dtype)
+    padded[:, : spec.n] = frames_local
+    run = _best_encoder()
+    words, bits, maxw, over = jax.device_get(run(spec, padded))
+    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+        words, bits, maxw, over = jax.device_get(
+            run(spec.with_ratio(1.0), padded)
+        )
+    nbytes = 1 + np.asarray(bits, np.int64) // 8
+    lo, hi = frame_lo, min(frame_lo + F_local, m["n_frames"])
+    expect = np.asarray(m["nbytes"][lo:hi], np.int64)
+    if not np.array_equal(nbytes[: hi - lo], expect):
+        raise ValueError(
+            "re-encoded shard sizes disagree with the run manifest — "
+            "input frames differ from the original run"
+        )
+    offsets = np.zeros(m["n_frames"], np.int64)
+    np.cumsum(m["nbytes"][:-1], out=offsets[1:])
+    total = int(offsets[-1] + m["nbytes"][-1])
+    res = ShardResult(
+        frame_lo=lo, frame_hi=lo + F_local, words=np.asarray(words),
+        nbytes=np.asarray(m["nbytes"], np.int64), offsets=offsets,
+        total_bytes=total, prolix_bits=m["prolix_bits"],
+    )
+    write_shard_file(
+        path, res, spec, m["n_frames"],
+        dimensions=tuple(m["dimensions"]), is_coordinator=(lo == 0),
+    )
