@@ -258,6 +258,7 @@ def stage_blocks(
     counts: jax.Array,
     cap_words: int,
     values_hi: jax.Array | None = None,
+    max_width: int | None = None,
 ):
     """Build the level-0 rows: one fixed-capacity word row per block.
 
@@ -302,6 +303,8 @@ def stage_blocks(
         # static reachability pruning: value j starts at off in
         # [1 + j, 12 + j*max_w] and its parts reach words word_idx..+2
         max_w = (cap_words * 32 - 12) // B
+        if max_width is not None:
+            max_w = min(max_w, max_width)
         i_lo = (1 + j) >> 5
         i_hi = min(cap_words - 1, ((12 + (j + 1) * max_w) >> 5) + 2)
         for i in range(i_lo, i_hi + 1):
@@ -338,6 +341,7 @@ def pack_frame(
     rows_t, lengths = stage_blocks(
         values_u32, widths, header_bits, header_values, counts, cap,
         values_hi=values_hi,
+        max_width=(max_block_bits - 12) // values_u32.shape[1],
     )
     P = 1
     while P < nb:

@@ -173,7 +173,9 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
     # ---- stage: (R, cap, L) — one fixed-capacity row per block ----------
     cols = [jnp.zeros((R, L), _U32) for _ in range(cap)]
     cols[0] = hv
-    max_w = (cap * 32 - 12) // B
+    # bound the reachable word span by the dtype's REAL max field width
+    # (the capacity-derived bound over-estimates, e.g. 20 vs 16 for u16)
+    max_w = min((cap * 32 - 12) // B, spec.max_width)
     for j in range(B):
         off = hb + j * width                                # (R, L)
         valid = (j < counts) & (width > 0)
@@ -265,7 +267,7 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
                       + jnp.sum(lengths))
             return
 
-    # ---- transition: 128 lane-trees -> rows (L, C128) -------------------
+    # ---- transition: 128 lane-trees -> (L, S, 128) word grids -----------
     C128 = _round_up(C, 128)
     s2 = state.reshape(C, L)
     if C128 > C:  # sublane-aligned pad before the transpose
@@ -274,59 +276,64 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
         )
     rows = s2.T                                             # (L, C128)
     C = C128
+    state3 = rows.reshape(L, C // 128, 128)
     lp = jnp.broadcast_to(lengths.reshape(L, 1), (L, L))    # lengths plane
 
-    # ---- phase 2: merge along the sublane node axis ---------------------
-    # No concats: reshaping (Pn, C) -> (Pn/2, 2C) makes each pair one
-    # doubled row with A at words [0, C) and B at [C, 2C); B then shifts
-    # DOWN by C*32 - la bits (roll + mask), and A | B_shifted merges.
-    def roll_down(x, step, axis):
-        rolled = jnp.roll(x, -step, axis=axis)
-        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
-        return jnp.where(idx < x.shape[axis] - step, rolled, _U32(0))
-
+    # ---- phase 2: merge along the outer node axis of (M, S, 128) grids --
+    # Word w of node m lives at [m, w >> 7, w & 127]: pairs split by an
+    # outer reshape, B lifts UP by la bits via _roll3_up (sublane rolls +
+    # <128 lane rolls — every step well-tiled even at M == 1, unlike the
+    # old (M, C) lane-axis rolls that dominated the round-1 ablation).
     Pn = L
     while Pn > 1:
         M = Pn // 2
-        C2 = 2 * C
-        rows2 = rows.reshape(M, C2)
-        lane = jax.lax.broadcasted_iota(_I32, (M, C2), 1)
-        A2 = jnp.where(lane < C, rows2, _U32(0))
-        B2 = jnp.where(lane >= C, rows2, _U32(0))
+        S = C // 128
+        s4 = state3.reshape(M, 2, S, 128)
+        A = s4[:, 0]
+        Bp = s4[:, 1]
         lp3 = lp.reshape(M, 2, L)
         la_p = lp3[:, 0, :]                                 # (M, L)
         lb_p = lp3[:, 1, :]
         la = la_p[:, :1].astype(_I32)                       # (M, 1)
-        d = C * 32 - la                                     # down-shift bits
-        k = (d >> 5).astype(_U32)
+        zero = jnp.zeros((M, S, 128), _U32)
+        A2 = jnp.concatenate([A, zero], axis=1)             # (M, 2S, 128)
+        B2 = jnp.concatenate([Bp, zero], axis=1)
+        k3 = _bcast3((la >> 5).astype(_U32), M, 2 * S)
         step = 1
         j = 0
-        while step <= C and step < C2:
-            bit = ((k >> j) & 1).astype(bool)
-            B2 = jnp.where(bit, roll_down(B2, step, 1), B2)
+        while step <= C and step < 2 * C:
+            bit = ((k3 >> j) & 1) != 0
+            B2 = jnp.where(bit, _roll3_up(B2, step), B2)
             step *= 2
             j += 1
-        s = (d & 31).astype(_U32)
-        nxtw = roll_down(B2, 1, 1)
-        B2 = (B2 >> s) | ((nxtw << (_U32(31) - s)) << _U32(1))
-        rows = A2 | B2
+        s = _bcast3((la & 31).astype(_U32), M, 2 * S)
+        prevw = _roll3_up(B2, 1)
+        B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
+        state3 = A2 | B2                                    # (M, 2S, 128)
         lp = la_p + lb_p
         Pn = M
-        C = C2
+        C = 2 * C
         max_bits *= 2
         level += 1
         if use_soft and level < len(caps) and caps[level] < C:
-            c = _round_up(caps[level], 128)                 # lane align
+            # flag against the SCHEDULE bound (what the prepass proved and
+            # what sizes the host output buffer), not the physical
+            # capacity: 1024-rounding may leave capacity larger than the
+            # schedule, and a silently-longer stream would be truncated
+            # by the host's out_words slice
+            overflow = overflow | jnp.any(lp[:, :1] > caps[level] * 32 - 31)
+            # 1024-word (8x128 tile) alignment: sublane cuts stay on tile
+            # boundaries; still >= the prepass's proven schedule
+            c = _round_up(caps[level], 1024)
             if c < C:
-                overflow = overflow | jnp.any(lp[:, :1] > c * 32 - 31)
-                rows = rows[:, :c]
+                state3 = state3[:, : c // 128, :]
                 C = c
         if cut is not None and level >= cut:
-            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows, _I32))
+            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
                       + jnp.sum(lp))
             return
 
-    words2 = rows[:1, :]                                    # (1, C_final)
+    words2 = state3.reshape(1, C)                           # (1, C_final)
     ow_pad = words_ref.shape[-1]
     if ow_pad <= words2.shape[1]:
         words2 = words2[:, :ow_pad]
@@ -349,6 +356,60 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _bcast3(v, M: int, S: int):
+    """Broadcast per-node scalars (M, 1) -> (M, S, 128) in two Mosaic-
+    supported steps: a lane broadcast, then a sublane ``pltpu.repeat``.
+    A plain two-step broadcast_to gets re-folded by the XLA simplifier
+    into one (M,1,1)->(M,S,128) broadcast, which hits Mosaic's
+    unimplemented 'broadcast in both sublanes and lanes'; repeat is a
+    real data op the simplifier keeps."""
+    t = jnp.broadcast_to(v, (M, 128))[:, None, :]
+    if S == 1:
+        return t
+    return pltpu.repeat(t, S, axis=1)
+
+
+def _roll3_up(x, step: int):
+    """Static word shift toward higher indices on a (M, S, 128) word grid
+    (word w = s*128 + l). Binary-lifting steps are powers of two, so a
+    step is either a multiple of 128 (pure sublane roll — cheap) or
+    < 128 (one lane roll + a sublane-carry fix) — never a lane shift
+    across the full row, which starved sublanes at deep merge levels
+    (the round-1 ablation's dominant cost)."""
+    M, S, L = x.shape
+    if step >= S * L:
+        return jnp.zeros_like(x)
+    if step % L == 0:
+        k = step // L
+        rolled = jnp.roll(x, k, axis=1)
+        sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+        return jnp.where(sub >= k, rolled, _U32(0))
+    a = jnp.roll(x, step, axis=2)
+    b = jnp.roll(a, 1, axis=1)
+    sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    bm = jnp.where(sub >= 1, b, _U32(0))
+    return jnp.where(lane >= step, a, bm)
+
+
+def _roll3_down(x, step: int):
+    """Inverse of _roll3_up: shift toward lower word indices."""
+    M, S, L = x.shape
+    if step >= S * L:
+        return jnp.zeros_like(x)
+    if step % L == 0:
+        k = step // L
+        rolled = jnp.roll(x, -k, axis=1)
+        sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+        return jnp.where(sub < S - k, rolled, _U32(0))
+    a = jnp.roll(x, -step, axis=2)
+    b = jnp.roll(a, -1, axis=1)
+    sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    bm = jnp.where(sub < S - 1, b, _U32(0))
+    return jnp.where(lane < L - step, a, bm)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))

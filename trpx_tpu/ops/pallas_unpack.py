@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coding import FrameSpec
 from .pack import row_capacity
+from .pallas_pack import _bcast3, _roll3_down
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -144,56 +145,66 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     # ---- phase 2 inverse: top-down row-pair splits ----------------------
     # Child capacity is the worst case for its block count, clamped at the
     # parent (streams are size-bucketed, so capacities don't just halve).
+    # Nodes are (M, S, 128) word grids (word w = s*128 + l): the variable
+    # down-shift lifts with _roll3_down — sublane rolls + <128 lane rolls,
+    # well-tiled even at M == 1 (the old (M, C) lane-axis rolls dominated
+    # the round-1 decode profile like the encode's phase 2 did).
+    rows3 = (words_ref[0, 0] if tiled else words_ref[0]).reshape(
+        1, w_pad // 128, 128
+    )
     if tiled:
-        rows = words_ref[0, 0]                              # (1, w_pad)
         # the tile's bit stream starts ``shift`` (in [0, 32)) bits into
         # the word-aligned window the host handed us: one funnel pass
         s0 = shift_ref[f, t].astype(_U32)
-        nxt0 = roll_down(rows, 1, 1)
-        rows = (rows >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
-    else:
-        rows = words_ref[0]                                 # (1, w_pad)
+        nxt0 = _roll3_down(rows3, 1)
+        rows3 = (rows3 >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
     C = w_pad
     Pn = 1
     for la_p in reversed(la_p2):
         M = Pn
+        S = C // 128
         child_blocks = P // (2 * M)
         Cc = min(
-            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 128),
+            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 1024),
             C,
         )
         la = la_p[:M, :1].astype(_I32)                      # (M, 1)
-        lane = jax.lax.broadcasted_iota(_I32, (M, C), 1)
-        la_w = la >> 5
+        la3 = _bcast3(la, M, S)
+        sub = jax.lax.broadcasted_iota(_I32, (M, S, 128), 1)
+        lane = jax.lax.broadcasted_iota(_I32, (M, S, 128), 2)
+        widx = sub * 128 + lane
+        la_w = la3 >> 5
         amask = jnp.where(
-            lane < la_w,
+            widx < la_w,
             jnp.uint32(0xFFFFFFFF),
             jnp.where(
-                lane == la_w,
-                (_U32(1) << (la & 31).astype(_U32)) - _U32(1),
+                widx == la_w,
+                (_U32(1) << (la3 & 31).astype(_U32)) - _U32(1),
                 _U32(0),
             ),
         )
-        A = (rows & amask)[:, :Cc]
+        Sc = Cc // 128
+        A = (rows3 & amask)[:, :Sc, :]
         # B: shift down by la to bit 0, keep the first Cc words
-        k = (la >> 5).astype(_U32)
-        Bp = rows
+        k3 = (la3 >> 5).astype(_U32)
+        Bp = rows3
         step = 1
         while step <= C:
-            bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
-            Bp = jnp.where(bit, roll_down(Bp, step, 1), Bp)
+            bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
+            Bp = jnp.where(bit, _roll3_down(Bp, step), Bp)
             step *= 2
-        s = (la & 31).astype(_U32)
-        nxtw = roll_down(Bp, 1, 1)
-        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Cc]
-        rows = jnp.concatenate(
-            [A[:, None, None, :], Bp[:, None, None, :]], axis=1
-        ).reshape(2 * M, Cc)
+        s = (la3 & 31).astype(_U32)
+        nxtw = _roll3_down(Bp, 1)
+        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Sc, :]
+        rows3 = jnp.concatenate(
+            [A[:, None], Bp[:, None]], axis=1
+        ).reshape(2 * M, Sc, 128)
         Pn = 2 * M
         C = Cc
 
-    # rows: (L, C) — transpose into lane-tree planes (C, L) -> (1, C, L)
-    state = rows.T[None]                                    # (1, C, L)
+    # rows3: (L, S, 128) — fold back to (L, C), then transpose into
+    # lane-tree planes (C, L) -> (1, C, L)
+    state = rows3.reshape(Pn, C).T[None]                    # (1, C, L)
 
     # ---- phase 1 inverse: top-down outer-axis splits --------------------
     Rn = 1
@@ -246,7 +257,8 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         jnp.uint32(0xFFFFFFFF),
         (_U32(1) << jnp.clip(width, 0, 31).astype(_U32)) - _U32(1),
     )
-    max_w = (cap * 32 - 12) // B
+    # bound the reachable word span by the dtype's REAL max field width
+    max_w = min((cap * 32 - 12) // B, spec.max_width)
     for j in range(B):
         off = hb + j * width                                # (R, L)
         word_idx = off >> 5
@@ -352,7 +364,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
-    w_pad = _round_up(max(W, 128), 128)
+    # 1024-word (8x128 tile) alignment: the kernel's phase-2 word grids
+    # slice sublanes on tile boundaries
+    w_pad = _round_up(max(W, 128), 1024)
     if w_pad > W:
         words = jnp.concatenate(
             [words, jnp.zeros((F, w_pad - W), jnp.uint32)], axis=1
@@ -470,7 +484,7 @@ def decode_batch_pallas_tiled(
     tspec = _tile_spec(spec, Tb)
     L = min(128, Tb)
     R = Tb // L
-    w_pad = _round_up(max(Wt, 128), 128)
+    w_pad = _round_up(max(Wt, 128), 1024)
     if w_pad > Wt:
         words_t = jnp.concatenate(
             [words_t, jnp.zeros((F, T, w_pad - Wt), jnp.uint32)], axis=2
