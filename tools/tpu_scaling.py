@@ -8,11 +8,18 @@ virtual CPU mesh exercises the code path but its numbers are not
 hardware-meaningful.
 """
 
+import os
 import statistics
 import sys
 import time
 
 import jax
+
+# honor JAX_PLATFORMS even when the TPU plugin would win the backend race
+# (the env var alone loses to the plugin on this box — CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -475,7 +475,8 @@ def decode_frame_tree(spec: FrameSpec, words: jax.Array, widths: jax.Array):
     # the split tree clamps node capacities at that size
     rows_t = split_stream(words, bb, cap,
                           max_block_bits=spec.max_block_bits)[:, :nb]
-    lo, _ = extract_values(rows_t, widths, hb, B)   # (B, nb)
+    lo, _ = extract_values(rows_t, widths, hb, B,
+                           max_width=spec.max_width)   # (B, nb)
     w2 = widths[None, :]
     u = lo & _mask_for(w2)
     if spec.signed:
@@ -621,6 +622,21 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
     dtype = np.dtype(dtype)
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
+    if meta.prolix_bits > spec.max_width:
+        # stream fields wider than the target spec's lanes/capacities
+        # (narrowing beyond capacity+1): the device tree is sized for the
+        # TARGET dtype, so route to the host codec, which implements the
+        # reference's clamp semantics at C speed (api.decompress already
+        # routes these; this guards direct ops.decode calls)
+        from .. import native
+
+        if native.available():
+            from ..native import codec as ncodec
+
+            return ncodec.decode(archive, dtype)
+        from ..format import pycodec as _py
+
+        return _py.decode(archive, dtype)
     F = meta.number_of_frames
     Fp = 1
     while Fp < F:  # bucket the batch shape (bounds jit recompiles)

@@ -178,6 +178,7 @@ def extract_values(
     header_bits: jax.Array,
     block: int,
     wide: bool = False,
+    max_width: int | None = None,
 ):
     """Per-value field extraction from per-block rows.
 
@@ -191,6 +192,10 @@ def extract_values(
     zero = jnp.zeros((nb,), _U32)
     los = []
     his = []
+    # bound the reachable word span by the dtype's real max field width
+    max_w = (C0 * 32 - 12) // block
+    if max_width is not None:
+        max_w = min(max_w, max_width)
     for j in range(block):
         off = header_bits + j * w                # (nb,)
         word_idx = off >> 5
@@ -198,7 +203,9 @@ def extract_values(
         lo = zero
         hi = zero
         # static reachability: off <= max_block_bits, word span tiny
-        for i in range(C0):
+        i_lo = (1 + j) >> 5
+        i_hi = min(C0 - 1, ((12 + (j + 1) * max_w) >> 5) + 1)
+        for i in range(i_lo, i_hi + 1):
             cur = rows_t[i]
             nxt = rows_t[i + 1] if i + 1 < C0 else zero
             nx2 = rows_t[i + 2] if i + 2 < C0 else zero
