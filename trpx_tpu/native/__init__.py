@@ -118,10 +118,13 @@ def _padded_payload(payload: bytes) -> np.ndarray:
     return buf
 
 
-def walk(payload: bytes, nframes: int, nvalues: int, block: int):
+def walk(payload: bytes, nframes: int, nvalues: int, block: int,
+         want_poffs: bool = True):
     """Header walk for a whole archive (C speed).
 
-    Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit offsets,
+    Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit offsets
+    — or None when ``want_poffs=False``, which skips ~2/3 of the output
+    traffic; the tree decoders derive offsets from widths — and
     fstarts (F+1,) int64 byte offsets). Raises ValueError on a malformed
     stream.
     """
@@ -131,11 +134,12 @@ def walk(payload: bytes, nframes: int, nvalues: int, block: int):
     nb = -(-nvalues // block)
     buf = _padded_payload(payload)
     widths = np.empty((nframes, nb), dtype=np.int32)
-    poffs = np.empty((nframes, nb), dtype=np.int64)
+    poffs = np.empty((nframes, nb), dtype=np.int64) if want_poffs else None
     fstarts = np.empty(nframes + 1, dtype=np.int64)
     rc = lib.trpx_walk(
         _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
-        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        _ptr(widths, ctypes.c_int32),
+        _ptr(poffs, ctypes.c_int64) if want_poffs else None,
         _ptr(fstarts, ctypes.c_int64),
     )
     if rc != 0:
@@ -150,7 +154,7 @@ def padded_buffer(payload: bytes) -> np.ndarray:
 
 
 def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
-               block: int):
+               block: int, want_poffs: bool = False):
     """Header walk of ``nframes`` frames starting at byte ``start`` of a
     ``padded_buffer`` array.
 
@@ -160,8 +164,8 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
     (runtime/stream.iter_decode).
 
     Returns (widths (nf, nb) int32, poffs (nf, nb) int64 bit offsets
-    relative to ``start``, fstarts (nf+1,) int64 byte offsets relative to
-    ``start``).
+    relative to ``start`` — None unless ``want_poffs`` — and
+    fstarts (nf+1,) int64 byte offsets relative to ``start``).
     """
     lib = _load()
     if lib is None:
@@ -170,11 +174,12 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
     sub = buf[start:]
     payload_len = buf.shape[0] - SLACK - start
     widths = np.empty((nframes, nb), dtype=np.int32)
-    poffs = np.empty((nframes, nb), dtype=np.int64)
+    poffs = np.empty((nframes, nb), dtype=np.int64) if want_poffs else None
     fstarts = np.empty(nframes + 1, dtype=np.int64)
     rc = lib.trpx_walk(
         _ptr(sub, ctypes.c_uint8), payload_len, nframes, nvalues, block,
-        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        _ptr(widths, ctypes.c_int32),
+        _ptr(poffs, ctypes.c_int64) if want_poffs else None,
         _ptr(fstarts, ctypes.c_int64),
     )
     if rc != 0:
@@ -183,11 +188,12 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
 
 
 def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
-                 block: int):
+                 block: int, want_poffs: bool = True):
     """Parallel header walk given known per-frame byte offsets (OpenMP).
 
     Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit
-    offsets). Raises ValueError on a malformed stream.
+    offsets — or None when ``want_poffs=False``). Raises ValueError on a
+    malformed stream.
     """
     lib = _load()
     if lib is None:
@@ -197,11 +203,12 @@ def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
     nb = -(-nvalues // block)
     buf = _padded_payload(payload)
     widths = np.empty((nframes, nb), dtype=np.int32)
-    poffs = np.empty((nframes, nb), dtype=np.int64)
+    poffs = np.empty((nframes, nb), dtype=np.int64) if want_poffs else None
     rc = lib.trpx_walk_indexed(
         _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
         _ptr(fstarts, ctypes.c_int64),
-        _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
+        _ptr(widths, ctypes.c_int32),
+        _ptr(poffs, ctypes.c_int64) if want_poffs else None,
     )
     if rc != 0:
         raise ValueError("malformed TRPX payload: indexed walk ran past end")

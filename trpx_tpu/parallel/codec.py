@@ -43,7 +43,6 @@ from ..format.pycodec import TrpxArchive
 from ..format.spec import DEFAULT_BLOCK, frame_nbytes
 from ..ops.coding import (
     FrameSpec,
-    decode_frame_device,
     encode_frame_device,
     walk_archive,
 )
@@ -252,8 +251,8 @@ class ShardedCodec:
         F = meta.number_of_frames
         Fp = -(-F // self.ndev) * self.ndev
         # serial header walk (SURVEY §7 hard part 3) — native C++ when built
-        widths, poffs, words = walk_archive(archive, self.spec,
-                                            pad_frames_to=Fp)
+        widths, _poffs, words = walk_archive(archive, self.spec,
+                                             pad_frames_to=Fp)
         # proven capacity bucket, computed host-side from the walk tables
         # BEFORE the shard_map launch (widths are traced inside it), so
         # sharded decode runs the same bucketed kernel as single-chip
@@ -264,7 +263,6 @@ class ShardedCodec:
                 self.mesh,
                 self._shard(words, P(AXIS, None)),
                 self._shard(widths, P(AXIS, None)),
-                self._shard(poffs, P(AXIS, None)),
                 ratio,
             )
         )[:F, : meta.number_of_values]
@@ -286,22 +284,22 @@ def _proven_ratio(spec, widths: np.ndarray) -> float:
     return 1.0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
-def _decode_sharded_jit(spec, mesh, words, widths, poffs, ratio=1.0):
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _decode_sharded_jit(spec, mesh, words, widths, ratio=1.0):
     from ..ops.coding import _best_decoder
 
     decoder = _best_decoder()  # Pallas split tree on TPU, jnp on CPU
 
-    def local(words_l, widths_l, poffs_l):
-        return decoder(spec, words_l, widths_l, poffs_l, ratio=ratio)
+    def local(words_l, widths_l):
+        return decoder(spec, words_l, widths_l, None, ratio=ratio)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        in_specs=(P(AXIS, None), P(AXIS, None)),
         out_specs=P(AXIS, None),
         check_vma=False,
-    )(words, widths, poffs)
+    )(words, widths)
 
 
 def encode_sharded(

@@ -286,13 +286,13 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
 
     if not use_native:
         # no native walker: single full walk, chunked device unpack
-        widths, poffs, words = walk_archive(archive, spec)
+        widths, _poffs, words = walk_archive(archive, spec)
         for lo in range(0, F, C):
             hi = min(F, lo + C)
             vals = np.asarray(
                 jax.device_get(
                     decode_batch_device(
-                        spec, words[lo:hi], widths[lo:hi], poffs[lo:hi]
+                        spec, words[lo:hi], widths[lo:hi]
                     )
                 )
             )[:, :n]
@@ -329,8 +329,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
             bv[i, : e - s] = buf[s:e]
         widths_p = np.zeros((C, spec.nb), np.int32)
         widths_p[:nf] = widths_c
-        fut = run(spec, words, widths_p,
-                  np.zeros((C, spec.nb), np.int32))
+        fut = run(spec, words, widths_p, None)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)
