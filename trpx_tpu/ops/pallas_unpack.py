@@ -56,7 +56,8 @@ def _node_cap_words(child_blocks: int, mbb: int, cap0: int,
 
 def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             words_ref, widths_ref, out_ref, shift_ref=None,
-            prev_ref=None, n_total: int | None = None):
+            prev_ref=None, n_total: int | None = None,
+            cut: int | None = None):
     """One frame — or one TILE of a big frame when ``shift_ref``/
     ``prev_ref``/``n_total`` are provided and the grid is (F, T): the
     tile's word window starts ``shift`` bits before the tile stream
@@ -128,6 +129,15 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         lp = lp3[:, 0, :] + lp3[:, 1, :]
         Pn = M
 
+    def _emit_cut(chk):
+        # ablation early-exit (tools/tpu_ablate_decode.py): full-tensor
+        # checksum so nothing traced so far is dead-code-eliminated
+        z = jnp.broadcast_to(chk.astype(_I32), (R, L))
+        if tiled:
+            out_ref[0, 0, 0] = z
+        else:
+            out_ref[0, 0] = z
+
     def roll_up(x, step, axis):
         rolled = jnp.roll(x, step, axis=axis)
         idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
@@ -159,6 +169,11 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         nxt0 = _roll3_down(rows3, 1)
         rows3 = (rows3 >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
     C = w_pad
+    if cut is not None and cut < 0:  # lengths/plan only
+        _emit_cut(jnp.sum(block_bits) + jnp.sum(lp)
+                  + jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)))
+        return
+    lev = 0
     Pn = 1
     for la_p in reversed(la_p2):
         M = Pn
@@ -201,10 +216,17 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         ).reshape(2 * M, Sc, 128)
         Pn = 2 * M
         C = Cc
+        lev += 1
+        if cut is not None and 0 <= cut < 90 and lev >= cut:
+            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)))
+            return
 
     # rows3: (L, S, 128) — fold back to (L, C), then transpose into
     # lane-tree planes (C, L) -> (1, C, L)
     state = rows3.reshape(Pn, C).T[None]                    # (1, C, L)
+    if cut == 90:  # after the fold + transpose
+        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
+        return
 
     # ---- phase 1 inverse: top-down outer-axis splits --------------------
     Rn = 1
@@ -244,12 +266,20 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         ).reshape(2 * M, Cc, L)
         Rn = 2 * M
         C = Cc
+        lev += 1
+        if cut is not None and 0 <= cut < 90 and lev >= cut:
+            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
+            return
 
     # pad rows to the staging capacity so extraction can't run off the end
     if C < cap + 2:
         state = jnp.concatenate(
             [state, jnp.zeros((R, cap + 2 - C, L), _U32)], axis=1
         )
+
+    if cut == 99:  # all splits done, no extraction
+        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
+        return
 
     # ---- per-value extraction ------------------------------------------
     wmask = jnp.where(
@@ -349,10 +379,10 @@ def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
     return _prove_ratio(bits, spec)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
                         widths: jax.Array, interpret: bool = False,
-                        ratio: float = 1.0):
+                        ratio: float = 1.0, cut: int | None = None):
     """Pallas decode of a batch.
 
     words:  (F, W) uint32 — per-frame streams (walk_archive buckets W)
@@ -380,7 +410,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     # (F, nb->P) -> (F, R, L) planes with [r, l] = block r + R*l
     wplanes = widths_p.reshape(F, L, R).transpose(0, 2, 1)
 
-    kernel = functools.partial(_kernel, spec, w_pad, ratio)
+    kernel = functools.partial(_kernel, spec, w_pad, ratio, cut=cut)
     out = pl.pallas_call(
         kernel,
         grid=(F,),
