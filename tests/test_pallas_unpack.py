@@ -37,3 +37,23 @@ def test_interpret_zero_and_repeat_blocks():
     arch = pycodec.encode(list(frames))
     out = pallas_unpack.decode(arch, np.uint16, interpret=True)
     np.testing.assert_array_equal(out, frames)
+
+
+def test_interpret_i8_pair_fusing():
+    """i8 (max_width 9) takes the PAIR extraction path; sign extension
+    must apply per fused value."""
+    import jax
+    import jax.numpy as jnp
+
+    from trpx_tpu.ops.coding import FrameSpec, narrow_values, walk_archive
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(-63, 64, size=(2, 500)).astype(np.int8)
+    frames[0, :24] = 0
+    arch = pycodec.encode(list(frames))
+    spec = FrameSpec.for_dtype(500, np.int8)
+    widths, _p, words = walk_archive(arch, spec)
+    out = jax.device_get(pallas_unpack.decode_batch_pallas(
+        spec, jnp.asarray(words), jnp.asarray(widths), True))
+    np.testing.assert_array_equal(
+        narrow_values(np.asarray(out)[:, :500], np.dtype(np.int8)), frames)

@@ -176,11 +176,25 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
     # bound the reachable word span by the dtype's REAL max field width
     # (the capacity-derived bound over-estimates, e.g. 20 vs 16 for u16)
     max_w = min((cap * 32 - 12) // B, spec.max_width)
-    for j in range(B):
+    # value fusing: when ``stride`` fields always fit one 32-bit window
+    # (stride*max_width <= 32: pairs for u16/i8, quads for u8), fuse
+    # values j..j+stride-1 into one placement — divides the
+    # masked-select staging loop by stride
+    stride = 4 if spec.max_width <= 8 else (
+        2 if spec.max_width <= 16 else 1)
+    wu = jnp.clip(width, 0, 31).astype(_U32)
+    for j in range(0, B, stride):
         off = hb + j * width                                # (R, L)
         valid = (j < counts) & (width > 0)
         vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
         vj = jnp.where(valid, vu, _U32(0))
+        for d in range(1, stride):
+            if j + d >= B:
+                continue
+            validd = (j + d < counts) & (width > 0)
+            vud = jax.lax.bitcast_convert_type(vplanes[j + d], _U32) & wmask
+            # zeros land beyond the block's own bits when j+d is padding
+            vj = vj | (jnp.where(validd, vud, _U32(0)) << (wu * _U32(d)))
         word_idx = off >> 5
         bit_idx = (off & 31).astype(_U32)
         lo = vj << bit_idx
@@ -194,7 +208,7 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
             hi = hi | (vhj << bit_idx)
             hi2 = (vhj >> (_U32(31) - bit_idx)) >> _U32(1)
         i_lo = (1 + j) >> 5
-        i_hi = min(cap - 1, ((12 + (j + 1) * max_w) >> 5) + 2)
+        i_hi = min(cap - 1, ((12 + (j + stride) * max_w) >> 5) + 2)
         for i in range(i_lo, i_hi + 1):
             contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
                 word_idx == i - 1, hi, _U32(0)
@@ -412,28 +426,36 @@ def _roll3_down(x, step: int):
     return jnp.where(lane < L - step, a, bm)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
-                        interpret: bool = False, cut: int | None = None):
+                        interpret: bool = False, cut: int | None = None,
+                        pre_arranged: bool = False):
     """Pallas encode of a (F, n_padded) batch.
 
     Returns (words (F, out_words), bits (F,), maxw (F,), over (F,)) —
     the same contract as ops.coding.encode_batch_device. ``cut`` is the
     ablation early-exit (see _kernel); production callers leave it None.
+    ``pre_arranged``: the input is already in kernel layout (F, B, R, L)
+    (value v = B*(r + R*l) + j at [f, j, r, l]) — skips the device-side
+    transpose for hosts that arrange during ingest.
     """
-    F = frames.shape[0]
     B = spec.block
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
-    # host-side (XLA) layout transform: one fused pass, fine in HBM.
-    # flat value v = B*b + j with b = r + R*l  ->  [f, j, r, l]
-    if frames.shape[1] < P * B:
-        pad = jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)
-        frames = jnp.concatenate([frames, pad], axis=1)
-    elif frames.shape[1] > P * B:  # caller over-padded; tail is zeros
-        frames = frames[:, : P * B]
-    x = frames.reshape(F, L, R, B).transpose(0, 3, 2, 1)   # (F, B, R, L)
+    if pre_arranged:
+        F = frames.shape[0]
+        x = frames
+    else:
+        F = frames.shape[0]
+        # host-side (XLA) layout transform: one fused pass, fine in HBM.
+        # flat value v = B*b + j with b = r + R*l  ->  [f, j, r, l]
+        if frames.shape[1] < P * B:
+            pad = jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)
+            frames = jnp.concatenate([frames, pad], axis=1)
+        elif frames.shape[1] > P * B:  # caller over-padded; tail is zeros
+            frames = frames[:, : P * B]
+        x = frames.reshape(F, L, R, B).transpose(0, 3, 2, 1)  # (F, B, R, L)
     out_words = spec.out_words
     ow_pad = _round_up(out_words, 128)
 
