@@ -382,10 +382,28 @@ def _bench_e2e(args, frames) -> None:
         enc.finalize()
         e2e = time.perf_counter() - t0
         comp = dst.stat().st_size
-    fps = args.frames / e2e
-    gbs = frames.nbytes / e2e / 1e9
-    print(f"e2e TIFF->trpx : {fps:,.1f} frames/s ({gbs:.2f} GB/s raw in, "
-          f"{e2e:.3f} s wall, {1 - comp / frames.nbytes:.1%} reduction)")
+        fps = args.frames / e2e
+        gbs = frames.nbytes / e2e / 1e9
+        print(f"e2e TIFF->trpx : {fps:,.1f} frames/s ({gbs:.2f} GB/s raw "
+              f"in, {e2e:.3f} s wall, {1 - comp / frames.nbytes:.1%} "
+              "reduction)")
+
+        # decode direction: .trpx -> pixels via the pipelined chunked
+        # decoder (host walk of chunk k+1 overlaps device unpack of k)
+        from ..io.trpx import read_trpx
+        from ..runtime.stream import iter_decode
+
+        t0 = time.perf_counter()
+        arch = read_trpx(dst)
+        got = 0
+        for chunk in iter_decode(arch, frames.dtype,
+                                 chunk_frames=args.chunk_frames):
+            got += chunk.shape[0]
+        e2d = time.perf_counter() - t0
+        assert got == args.frames
+        print(f"e2e trpx->pixels: {args.frames / e2d:,.1f} frames/s "
+              f"({frames.nbytes / e2d / 1e9:.2f} GB/s raw out, "
+              f"{e2d:.3f} s wall, pipelined walk+unpack)")
 
 
 if __name__ == "__main__":

@@ -108,9 +108,8 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
     return width, hb, hv, counts
 
 
-def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
-            over_ref, prev_ref=None, n_total: int | None = None,
-            cut: int | None = None):
+def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
+            n_total: int | None = None, cut: int | None = None):
     """One frame (or one TILE of a big frame, when ``prev_ref``/``n_total``
     are provided and the grid is (F, T)).
 
@@ -150,14 +149,13 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
 
     def _emit_cut(chk):
         # ablation early-exit: a full-tensor checksum (so nothing traced
-        # so far is dead-code-eliminated) splattered over the outputs
+        # so far is dead-code-eliminated) splattered over the output row
         ow = words_ref.shape[-1]
-        words_ref[0, :, :] = jnp.broadcast_to(
-            chk.astype(_U32)[None, None], (1, ow)
-        )
-        bits_ref[f, 0] = _I32(0)
-        maxw_ref[f, 0] = jnp.max(width)
-        over_ref[f, 0] = _I32(0)
+        row = jnp.broadcast_to(chk.astype(_U32)[None, None], (1, ow))
+        if tiled:
+            words_ref[0, 0, :, :] = row
+        else:
+            words_ref[0, :, :] = row
 
     if cut is not None and cut < 0:  # plan only
         _emit_cut(jnp.sum(width + hb + counts)
@@ -356,16 +354,20 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, bits_ref, maxw_ref,
             [words2, jnp.zeros((1, ow_pad - words2.shape[1]), _U32)],
             axis=1,
         )
+    # the per-frame scalars ride the last three lanes of the words row
+    # (SMEM scalar outputs need (F,1) constant-index blocks, which get
+    # written back EVERY grid step — O(F^2) traffic; the host never reads
+    # words beyond out_words <= ow_pad-3, so the lanes are free)
+    lane_i = jax.lax.broadcasted_iota(_I32, (1, ow_pad), 1)
+    wi = jax.lax.bitcast_convert_type(words2, _I32)
+    wi = jnp.where(lane_i == ow_pad - 3, lp[0, 0], wi)
+    wi = jnp.where(lane_i == ow_pad - 2, jnp.max(width), wi)
+    wi = jnp.where(lane_i == ow_pad - 1, overflow.astype(_I32), wi)
+    words2 = jax.lax.bitcast_convert_type(wi, _U32)
     if tiled:
         words_ref[0, 0, :, :] = words2
-        bits_ref[f, t] = lp[0, 0]
-        maxw_ref[f, t] = jnp.max(width)
-        over_ref[f, t] = overflow.astype(_I32)
     else:
         words_ref[0, :, :] = words2
-        bits_ref[f, 0] = lp[0, 0]
-        maxw_ref[f, 0] = jnp.max(width)
-        over_ref[f, 0] = overflow.astype(_I32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -457,36 +459,25 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
             frames = frames[:, : P * B]
         x = frames.reshape(F, L, R, B).transpose(0, 3, 2, 1)  # (F, B, R, L)
     out_words = spec.out_words
-    ow_pad = _round_up(out_words, 128)
+    ow_pad = _round_up(out_words + 3, 128)  # +3 scalar tail lanes
 
     kernel = functools.partial(_kernel, spec, cut=cut)
-    words, bits, maxw, over = pl.pallas_call(
+    words = pl.pallas_call(
         kernel,
         grid=(F,),
         in_specs=[
             pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, 1), lambda f: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, 1), lambda f: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, 1), lambda f: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
-            jax.ShapeDtypeStruct((F, 1), jnp.int32),
-            jax.ShapeDtypeStruct((F, 1), jnp.int32),
-            jax.ShapeDtypeStruct((F, 1), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
         interpret=interpret,
     )(x)
-    return (words.reshape(F, ow_pad)[:, :out_words],
-            bits[:, 0], maxw[:, 0], over[:, 0])
+    words = words.reshape(F, ow_pad)
+    wi = jax.lax.bitcast_convert_type(words, jnp.int32)
+    return (words[:, :out_words],
+            wi[:, ow_pad - 3], wi[:, ow_pad - 2], wi[:, ow_pad - 1])
 
 
 def encode(
@@ -574,38 +565,35 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
         [jnp.zeros((F, 1), jnp.int32), wlast[:, :-1]], axis=1
     )
 
-    ow = _round_up(tspec.out_words, 128)
+    ow = _round_up(tspec.out_words + 3, 128)  # +3 scalar tail lanes
     kernel = functools.partial(_kernel, tspec, n_total=spec.n)
-    words, bits, maxw, over = pl.pallas_call(
-        lambda fr, pv, w, b, m, o: kernel(fr, w, b, m, o, prev_ref=pv),
+    words = pl.pallas_call(
+        lambda fr, pv, w: kernel(fr, w, prev_ref=pv),
         grid=(F, T),
         in_specs=[
             pl.BlockSpec((1, 1, B, R, L), lambda f, t: (f, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            # read-only constant-index SMEM block: fetched once, no
+            # per-step write-back (unlike scalar OUTPUT blocks)
             pl.BlockSpec((F, T), lambda f, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, 1, ow), lambda f, t: (f, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T), lambda f, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, T), lambda f, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, T), lambda f, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((F, T, 1, ow), jnp.uint32),
-            jax.ShapeDtypeStruct((F, T), jnp.int32),
-            jax.ShapeDtypeStruct((F, T), jnp.int32),
-            jax.ShapeDtypeStruct((F, T), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((1, 1, 1, ow), lambda f, t: (f, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, T, 1, ow), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, prev0)
+    words = words.reshape(F, T, ow)
+    wi = jax.lax.bitcast_convert_type(words, jnp.int32)
+    bits = wi[:, :, ow - 3]
+    maxw = wi[:, :, ow - 2]
+    over = wi[:, :, ow - 1]
+    # zero the scalar tail lanes before the tile-stream merge
+    lane_i = jnp.arange(ow)[None, None, :]
+    words = jnp.where(lane_i < ow - 3, words, jnp.uint32(0))
 
     # merge the tile streams (T small: unrolled dynamic-slice levels)
     Tp = 1
