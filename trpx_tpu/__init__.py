@@ -14,3 +14,4 @@ compression format (reference: senikm/trpx, C++ header-only), built TPU-first:
 __version__ = "0.1.0"
 
 from .format import TrpxArchive, TrpxMeta  # noqa: F401
+from .terse import Terse  # noqa: F401  — jpa::Terse-shaped adapter

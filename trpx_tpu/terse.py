@@ -1,0 +1,163 @@
+"""Reference-API adapter: a ``jpa::Terse``-shaped class over the TPU codec.
+
+Mirrors the reference class's surface (Terse.hpp:228: constructors from
+containers / streams, ``push_back``, ``prolix``, metadata accessors
+:396-444, ``write`` :454) so reference-library users can port call sites
+mechanically. Encoding runs on the device path (batched at ``write``
+time — the reference's per-push_back re-encode is its O(N²) bug P1);
+decoding fixes the multi-frame offset bugs B1/B2, so ``prolix(i)`` is
+correct for every frame index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format.pycodec import TrpxArchive
+
+
+class Terse:
+    """Accumulate frames, then serialize/decode — ``jpa::Terse`` shaped.
+
+    >>> t = Terse(np.arange(-500, 500, dtype=np.int32))
+    >>> t.number_of_frames, t.size
+    (1, 1000)
+    >>> out = t.prolix()                  # decode frame 0
+    >>> with open("x.trpx", "wb") as f: t.write(f)
+    """
+
+    def __init__(self, data=None, block: int = 12):
+        self._block = block
+        self._frames: list[np.ndarray] = []
+        self._dim: tuple[int, ...] = ()
+        self._archive: TrpxArchive | None = None
+        if data is not None:
+            self.push_back(data)
+
+    # ------------------------------------------------------------ build ---
+
+    @classmethod
+    def from_stream(cls, f) -> "Terse":
+        """Read a serialized ``.trpx`` stream — path, bytes, or file
+        object (Terse.hpp:279 ctor)."""
+        from .io.trpx import read_trpx
+
+        t = cls()
+        t._archive = read_trpx(f)
+        t._block = t._archive.meta.block
+        t._dim = tuple(t._archive.meta.dimensions)
+        return t
+
+    def push_back(self, frames) -> None:
+        """Append frame(s); dims must match previous pushes
+        (Terse.hpp:312-319)."""
+        if self._archive is not None:
+            raise ValueError(
+                "cannot push_back into a Terse read from a stream "
+                "(decode it and re-encode instead)"
+            )
+        arr = np.asarray(frames)
+        if arr.dtype.kind == "f":
+            arr = arr.astype(np.int64)  # CLI float path (terse.cpp:120-123)
+        if arr.dtype.kind not in "iu":
+            raise TypeError(f"only integral frames, got {arr.dtype}")
+        if arr.ndim == 1:
+            stack, dim = arr[None, :], ()
+        elif arr.ndim == 2:
+            stack, dim = arr.reshape(1, -1), (arr.shape[1], arr.shape[0])
+        elif arr.ndim == 3:
+            stack, dim = (arr.reshape(arr.shape[0], -1),
+                          (arr.shape[2], arr.shape[1]))
+        else:
+            raise ValueError("frames must be 1-D, 2-D or 3-D")
+        if self._frames:
+            if stack.shape[1] != self._frames[0].shape[0]:
+                raise ValueError("frame size differs from the stack's")
+            if (stack.dtype.kind == "i") != (
+                    self._frames[0].dtype.kind == "i"):
+                raise ValueError("signedness differs from the stack's")
+        else:
+            self._dim = dim
+        self._frames.extend(stack)
+
+    # ----------------------------------------------------------- encode ---
+
+    def _encoded(self) -> TrpxArchive:
+        if self._archive is None:
+            if not self._frames:
+                raise ValueError("empty Terse")
+            from . import api
+
+            stack = np.stack(self._frames)  # (F, n) flat batch
+            if stack.dtype in api._DEVICE_KINDS:
+                from . import ops
+
+                self._archive = ops.encode(
+                    stack, block=self._block, dimensions=self._dim
+                )
+            else:  # 64-bit dtypes: host codec
+                self._archive = api._host_encode(
+                    stack, self._block, self._dim
+                )
+        return self._archive
+
+    def write(self, f) -> None:
+        """Serialize header + payload (Terse.hpp:454)."""
+        from .io.trpx import write_trpx
+
+        write_trpx(self._encoded(), f)
+
+    # ----------------------------------------------------------- decode ---
+
+    def prolix(self, frame: int = 0, dtype=None) -> np.ndarray:
+        """Decode one frame (every index is correct — reference bugs
+        B1/B2 fixed). Returns (h, w) when dims are known, else (n,)."""
+        from . import api
+
+        arch = self._encoded()
+        F = arch.meta.number_of_frames
+        if not (0 <= frame < F):
+            raise IndexError(f"frame {frame} out of range [0, {F})")
+        out = api.decompress(arch, dtype=dtype)
+        if F > 1:
+            out = out[frame]
+        return out
+
+    # ------------------------------------------------- metadata accessors ---
+    # (Terse.hpp:396-444)
+
+    @property
+    def size(self) -> int:
+        """Values per frame."""
+        if self._archive is not None:
+            return self._archive.meta.number_of_values
+        return self._frames[0].shape[0] if self._frames else 0
+
+    @property
+    def number_of_frames(self) -> int:
+        if self._archive is not None:
+            return self._archive.meta.number_of_frames
+        return len(self._frames)
+
+    def dim(self) -> tuple[int, ...]:
+        return self._dim
+
+    @property
+    def is_signed(self) -> bool:
+        if self._archive is not None:
+            return self._archive.meta.signed
+        return bool(self._frames) and self._frames[0].dtype.kind == "i"
+
+    @property
+    def bits_per_val(self) -> int:
+        """Max significant bits seen (``prolix_bits``)."""
+        return self._encoded().meta.prolix_bits
+
+    @property
+    def terse_size(self) -> int:
+        """Compressed payload bytes (``memory_size``)."""
+        return self._encoded().meta.memory_size
+
+    @property
+    def block(self) -> int:
+        return self._block
