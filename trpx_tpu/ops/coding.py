@@ -113,17 +113,18 @@ class FrameSpec:
     def pallas_ok(self) -> bool:
         """True if the whole-frame VMEM merge tree fits on-chip.
 
-        The kernel's working set is ~2 copies of the (P, cap, 128) state
-        plus the input values; beyond ~1M values (u16) the tree outgrows
-        VMEM (~128 MB on v5e) and the jnp path takes over. 2K×2K and
-        4K×4K frames therefore run the HBM tree until a tiled kernel
-        lands."""
+        The estimate (2 copies of the (P, cap, 128) state + the input
+        block) under-counts Mosaic's real scoped allocation by ~2.4x
+        (double-buffered input windows + split temporaries; measured:
+        2048x2048 u16 estimates 58 MB but needs 138 MB of the 128 MB
+        VMEM). The 40 MB threshold keeps ~2x slack; larger frames take
+        the tiled (F, T)-grid kernels."""
         from .pack import row_capacity
 
         cap8 = -(-row_capacity(self.max_block_bits) // 8) * 8
         state = self.tree_rows * cap8 * 4 * 2
         inp = self.tree_rows * self.block * 4
-        return state + inp < 80 * 1024 * 1024
+        return state + inp < 40 * 1024 * 1024
 
     def with_ratio(self, ratio: float) -> "FrameSpec":
         from dataclasses import replace
