@@ -171,3 +171,22 @@ def test_cli_interop_with_reference(tmp_path, reference_cli):
                    check=True, capture_output=True, cwd=theirs)
     assert prolix_main([str(theirs / "g.trpx")]) == 0
     np.testing.assert_array_equal(read_tiff(theirs / "g.tif")[0], img)
+
+
+def test_encode_index_sidecar(tmp_path):
+    """--index writes a .trpx.idx sidecar that decode's walk consumes."""
+    import numpy as np
+
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io.tiff import write_tiff
+    from trpx_tpu.io.trpx import read_trpx
+
+    rng = np.random.default_rng(3)
+    frames = rng.poisson(3.0, size=(4, 16, 16)).astype(np.uint16)
+    src = tmp_path / "ix.tif"
+    with open(src, "wb") as f:
+        write_tiff(frames, f)
+    assert terse_main([str(src), "--host", "--index"]) == 0
+    assert (tmp_path / "ix.trpx.idx").exists()
+    arch = read_trpx(tmp_path / "ix.trpx")
+    assert arch.frame_index is not None and len(arch.frame_index) == 4

@@ -90,6 +90,9 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
                         "(bounded memory, resumable)")
     p.add_argument("--chunk-frames", type=int, default=256,
                    help="frames per device batch in --stream mode")
+    p.add_argument("--index", action="store_true",
+                   help="also write a .trpx.idx frame-offset sidecar "
+                        "(enables the parallel header walk on decode)")
 
 
 def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
@@ -174,8 +177,15 @@ def _encode_files(args) -> int:
             )
             total_trpx += archive.meta.memory_size
             t2 = time.perf_counter()
-            _atomic_write(_out_path(src, ".trpx", args.out_dir),
-                          lambda f: write_trpx(archive, f))
+            dst = _out_path(src, ".trpx", args.out_dir)
+            _atomic_write(dst, lambda f: write_trpx(archive, f))
+            if args.index:
+                from ..io.trpx import _compute_offsets, write_index
+
+                offs = getattr(archive, "frame_index", None)
+                if offs is None:  # host-codec archives carry no index
+                    offs = _compute_offsets(archive)
+                write_index(dst, offs, archive.meta.memory_size)
             t3 = time.perf_counter()
             if args.delete_inputs:
                 print(f"Deleting original TIFF file: {src}")

@@ -126,6 +126,24 @@ class FrameSpec:
         inp = self.tree_rows * self.block * 4
         return state + inp < 40 * 1024 * 1024
 
+    @property
+    def pallas_ok_decode(self) -> bool:
+        """Whole-frame VMEM split tree + extraction fits on-chip.
+
+        Decode's real footprint is larger than encode's for the same
+        estimate (double-buffered int32 output planes + full-width split
+        temporaries + extraction masks; measured: 1024x1024 u32
+        estimates 23 MB but needs 170 MB of 128 MB VMEM, while 512x512
+        u16 at 3.7 MB runs comfortably). Frames beyond the 8 MB estimate
+        decode through the tiled (F, T) kernels — same throughput class,
+        bounded VMEM."""
+        from .pack import row_capacity
+
+        cap8 = -(-row_capacity(self.max_block_bits) // 8) * 8
+        state = self.tree_rows * cap8 * 4 * 2
+        inp = self.tree_rows * self.block * 4
+        return state + inp < 8 * 1024 * 1024
+
     def with_ratio(self, ratio: float) -> "FrameSpec":
         from dataclasses import replace
 
@@ -585,7 +603,7 @@ def _best_decoder():
             )
 
             def run(spec, words, widths, poffs, ratio=None):
-                if spec.pallas_ok:
+                if spec.pallas_ok_decode:
                     if ratio is None:
                         # host-proven capacity bucket (only when widths
                         # are concrete; inside shard_map they are traced)

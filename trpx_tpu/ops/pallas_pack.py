@@ -472,6 +472,10 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
         out_specs=pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # default 16M caps ~700k
+            #                                      values/frame (u32)
+        ),
         interpret=interpret,
     )(x)
     words = words.reshape(F, ow_pad)

@@ -596,7 +596,7 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     meta = archive.meta
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     widths, _poffs, words = walk_archive(archive, spec)
-    if spec.pallas_ok:
+    if spec.pallas_ok_decode:
         ratio = choose_ratio(spec, widths)
         out = decode_batch_pallas(spec, jnp.asarray(words),
                                   jnp.asarray(widths), interpret, ratio)

@@ -275,7 +275,7 @@ def _proven_ratio(spec, widths: np.ndarray) -> float:
     """Host-side proven decode capacity bucket (1.0 when Pallas is not in
     play — the jnp tree sizes itself from the bucketed stream)."""
     try:
-        if jax.default_backend() == "tpu" and spec.pallas_ok:
+        if jax.default_backend() == "tpu" and spec.pallas_ok_decode:
             from ..ops.pallas_unpack import choose_ratio
 
             return choose_ratio(spec, widths)
