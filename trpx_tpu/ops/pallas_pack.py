@@ -109,7 +109,8 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
 
 
 def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
-            n_total: int | None = None, cut: int | None = None):
+            n_total: int | None = None, cut: int | None = None,
+            natural: bool = False):
     """One frame (or one TILE of a big frame, when ``prev_ref``/``n_total``
     are provided and the grid is (F, T)).
 
@@ -136,9 +137,18 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
         block_offset = None
         prev0 = None
 
-    # input arrives host-arranged as (1, B, R, L) (plus a leading tile
-    # axis when tiled): [j, r, l] = value j of block b = r + R*l
-    if tiled:
+    # input planes [j, r, l] = value j of block b = r + R*l. ``natural``
+    # mode takes the frame in its NATURAL (L, R, B) layout and transposes
+    # in VMEM (one supported 2-D transpose + middle-axis slices) — the
+    # XLA-side (F,L,R,B)->(F,B,R,L) materialization this replaces cost
+    # ~40% of encode wall time (measured round 2)
+    if natural:
+        # block arrives as (1, L, R*B) — the frame's NATIVE flat layout
+        xi = (frame_ref[0, 0] if tiled else frame_ref[0]).astype(_I32)
+        xt = xi.T                                           # (R*B, L)
+        x3 = xt.reshape(R, B, L)
+        vplanes = [x3[:, j, :] for j in range(B)]
+    elif tiled:
         vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
     else:
         vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
@@ -445,30 +455,33 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
+    F = frames.shape[0]
     if pre_arranged:
-        F = frames.shape[0]
         x = frames
+        in_spec = pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        natural = False
     else:
-        F = frames.shape[0]
-        # host-side (XLA) layout transform: one fused pass, fine in HBM.
-        # flat value v = B*b + j with b = r + R*l  ->  [f, j, r, l]
+        # NATURAL layout: a free metadata reshape — the kernel transposes
+        # in VMEM (one 2-D transpose; the old XLA-side materialized
+        # transpose cost ~40% of encode wall time)
         if frames.shape[1] < P * B:
             pad = jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)
             frames = jnp.concatenate([frames, pad], axis=1)
         elif frames.shape[1] > P * B:  # caller over-padded; tail is zeros
             frames = frames[:, : P * B]
-        x = frames.reshape(F, L, R, B).transpose(0, 3, 2, 1)  # (F, B, R, L)
+        x = frames.reshape(F, L, R * B)
+        in_spec = pl.BlockSpec((1, L, R * B), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM)
+        natural = True
     out_words = spec.out_words
     ow_pad = _round_up(out_words + 3, 128)  # +3 scalar tail lanes
 
-    kernel = functools.partial(_kernel, spec, cut=cut)
+    kernel = functools.partial(_kernel, spec, cut=cut, natural=natural)
     words = pl.pallas_call(
         kernel,
         grid=(F,),
-        in_specs=[
-            pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[in_spec],
         out_specs=pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
@@ -551,7 +564,7 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
         frames = frames[:, : total_blocks * B]
     L = min(128, Tb)
     R = Tb // L
-    x = frames.reshape(F, T, L, R, B).transpose(0, 1, 4, 3, 2)
+    x = frames.reshape(F, T, L, R * B)  # natural layout (free reshape)
 
     # prev-width prepass: width of each tile's LAST block -> shifted
     lastv = frames.reshape(F, T, Tb, B)[:, :, -1, :].astype(jnp.int32)
@@ -570,12 +583,13 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     )
 
     ow = _round_up(tspec.out_words + 3, 128)  # +3 scalar tail lanes
-    kernel = functools.partial(_kernel, tspec, n_total=spec.n)
+    kernel = functools.partial(_kernel, tspec, n_total=spec.n,
+                               natural=True)
     words = pl.pallas_call(
         lambda fr, pv, w: kernel(fr, w, prev_ref=pv),
         grid=(F, T),
         in_specs=[
-            pl.BlockSpec((1, 1, B, R, L), lambda f, t: (f, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, L, R * B), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
             # read-only constant-index SMEM block: fetched once, no
             # per-step write-back (unlike scalar OUTPUT blocks)

@@ -76,11 +76,13 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         t = pl.program_id(1)
         block_offset = t * P
         prev0 = prev_ref[f, t].astype(_I32)
-        width = widths_ref[0, 0]                            # (R, L) int32
+        width = widths_ref[0, 0].T                          # (R, L) int32
     else:
         block_offset = None
         prev0 = _I32(0)
-        width = widths_ref[0]                               # (R, L) int32
+        # widths arrive in NATURAL (L, R) layout (free host reshape);
+        # one tiny in-VMEM transpose instead of an XLA materialization
+        width = widths_ref[0].T                             # (R, L) int32
     n_lim = spec.n if n_total is None else n_total
     nb_lim = -(-n_lim // B)
 
@@ -132,11 +134,11 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     def _emit_cut(chk):
         # ablation early-exit (tools/tpu_ablate_decode.py): full-tensor
         # checksum so nothing traced so far is dead-code-eliminated
-        z = jnp.broadcast_to(chk.astype(_I32), (R, L))
+        z = jnp.broadcast_to(chk.astype(_I32), (L, R * B))
         if tiled:
-            out_ref[0, 0, 0] = z
-        else:
             out_ref[0, 0] = z
+        else:
+            out_ref[0] = z
 
     def roll_up(x, step, axis):
         rolled = jnp.roll(x, step, axis=axis)
@@ -297,6 +299,8 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         2 if spec.max_width <= 16 else 1)
     wu = jnp.clip(width, 0, 31).astype(_U32)
 
+    planes: list = [None] * B
+
     def _store(j, u):
         u = u & wmask
         if spec.signed:
@@ -307,10 +311,7 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             )
             ext = jnp.where((width < 32) & (topb == 1), ~wmask, _U32(0))
             u = u | ext
-        if tiled:
-            out_ref[0, 0, j] = jax.lax.bitcast_convert_type(u, _I32)
-        else:
-            out_ref[0, j] = jax.lax.bitcast_convert_type(u, _I32)
+        planes[j] = jax.lax.bitcast_convert_type(u, _I32)
 
     for j in range(0, B, stride):
         off = hb + j * width                                # (R, L)
@@ -331,7 +332,19 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             if j + d < B:
                 _store(j + d, u >> (wu * _U32(d)))
         if cut is not None and 101 <= cut <= 100 + B and cut - 101 <= j:
-            return  # partial-extraction cuts
+            break  # partial-extraction cuts
+
+    # assemble the NATURAL (L, R*B) output in VMEM — value (l*R+r)*B + j
+    # at [l, r*B+j] IS flat frame order, so the host's reshape is free
+    # (the old (F,B,R,L) output needed an XLA transpose materialization)
+    zero_p = jnp.zeros((R, L), _I32)
+    x3 = jnp.stack([p if p is not None else zero_p for p in planes],
+                   axis=1)                                  # (R, B, L)
+    out = x3.reshape(R * B, L).T                            # (L, R*B)
+    if tiled:
+        out_ref[0, 0] = out
+    else:
+        out_ref[0] = out
 
 
 #: capacity buckets the host chooses among (recompiles bounded to 3)
@@ -423,8 +436,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
             [widths, jnp.zeros((F, P - widths.shape[1]), jnp.int32)],
             axis=1,
         )
-    # (F, nb->P) -> (F, R, L) planes with [r, l] = block r + R*l
-    wplanes = widths_p.reshape(F, L, R).transpose(0, 2, 1)
+    # (F, nb->P) -> natural (F, L, R): [l, r] = block r + R*l (free
+    # reshape; the kernel transposes the small plane in VMEM)
+    wplanes = widths_p.reshape(F, L, R)
 
     kernel = functools.partial(_kernel, spec, w_pad, ratio, cut=cut)
     out = pl.pallas_call(
@@ -433,19 +447,19 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 1, w_pad), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, L), lambda f: (f, 0, 0),
+            pl.BlockSpec((1, L, R), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, L, R * B), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, B, R, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((F, L, R * B), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(words[:, None, :], wplanes)
-    # [f, j, r, l] -> value index 12*(r + R*l) + j
-    return out.transpose(0, 3, 2, 1).reshape(F, P * B)[:, : spec.n_padded]
+    # the kernel emits the natural layout: reshape is free
+    return out.reshape(F, P * B)[:, : spec.n_padded]
 
 
 #: blocks per tile for big-frame decodes — matches pallas_pack.TILE_BLOCKS
@@ -543,7 +557,7 @@ def decode_batch_pallas_tiled(
             axis=1,
         )
     # (F, T*Tb) -> (F, T, R, L) planes with [r, l] = tile block r + R*l
-    wplanes = widths_p.reshape(F, T, L, R).transpose(0, 1, 3, 2)
+    wplanes = widths_p.reshape(F, T, L, R)  # natural layout (free)
 
     kernel = functools.partial(_kernel, tspec, w_pad, ratio,
                                n_total=spec.n)
@@ -554,26 +568,24 @@ def decode_batch_pallas_tiled(
         in_specs=[
             pl.BlockSpec((1, 1, 1, w_pad), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R, L), lambda f, t: (f, t, 0, 0),
+            pl.BlockSpec((1, 1, L, R), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, T), lambda f, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((F, T), lambda f, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, B, R, L),
-                               lambda f, t: (f, t, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, L, R * B),
+                               lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, T, B, R, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((F, T, L, R * B), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(words_t[:, :, None, :], wplanes, shift, prev0)
-    # [f, t, j, r, l] -> value index B*(t*Tb + r + R*l) + j
-    return out.transpose(0, 1, 4, 3, 2).reshape(F, T * Tb * B)[
-        :, : spec.n_padded
-    ]
+    # the kernel emits the natural layout: reshape is free
+    return out.reshape(F, T * Tb * B)[:, : spec.n_padded]
 
 
 def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
