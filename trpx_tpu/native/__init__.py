@@ -93,6 +93,10 @@ def _load() -> ctypes.CDLL | None:
             c_i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, c_u8p, ctypes.c_int64, c_i64p, c_i32p,
         ]
+        lib.trpx_gather_frames.restype = None
+        lib.trpx_gather_frames.argtypes = [
+            c_u8p, c_i64p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64,
+        ]
         lib.trpx_decode_frames.restype = ctypes.c_int
         lib.trpx_decode_frames.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -112,32 +116,57 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def _padded_payload(payload: bytes) -> np.ndarray:
+def _padded_payload(payload) -> np.ndarray:
+    # a uint8 ndarray is accepted as ALREADY padded (callers that walk
+    # repeatedly cache the padded copy — it is a full-payload memcpy)
+    if isinstance(payload, np.ndarray):
+        return payload
     buf = np.zeros(len(payload) + SLACK, dtype=np.uint8)
     buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
     return buf
 
 
-def walk(payload: bytes, nframes: int, nvalues: int, block: int,
-         want_poffs: bool = True):
+def gather_frames(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                  out: np.ndarray) -> None:
+    """Scatter per-frame payload chunks into the rows of ``out`` (tails
+    zeroed) with a parallel C memcpy. ``out`` must be C-contiguous uint8
+    (F, row_bytes); rows beyond ``len(starts)`` are left untouched."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    lib.trpx_gather_frames(
+        _ptr(buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64), len(starts),
+        _ptr(out, ctypes.c_uint8), out.shape[1],
+    )
+
+
+def walk(payload, nframes: int, nvalues: int, block: int,
+         want_poffs: bool = True, out_widths: np.ndarray | None = None):
     """Header walk for a whole archive (C speed).
 
     Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit offsets
     — or None when ``want_poffs=False``, which skips ~2/3 of the output
     traffic; the tree decoders derive offsets from widths — and
     fstarts (F+1,) int64 byte offsets). Raises ValueError on a malformed
-    stream.
+    stream. ``payload`` may be a pre-padded uint8 array (padded_buffer);
+    ``out_widths`` lets the walk write straight into a caller table.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     nb = -(-nvalues // block)
+    plen = (len(payload) - SLACK if isinstance(payload, np.ndarray)
+            else len(payload))
     buf = _padded_payload(payload)
-    widths = np.empty((nframes, nb), dtype=np.int32)
+    widths = (out_widths if out_widths is not None
+              else np.empty((nframes, nb), dtype=np.int32))
     poffs = np.empty((nframes, nb), dtype=np.int64) if want_poffs else None
     fstarts = np.empty(nframes + 1, dtype=np.int64)
     rc = lib.trpx_walk(
-        _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
+        _ptr(buf, ctypes.c_uint8), plen, nframes, nvalues, block,
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
         _ptr(fstarts, ctypes.c_int64),
@@ -187,13 +216,14 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
     return widths, poffs, fstarts
 
 
-def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
-                 block: int, want_poffs: bool = True):
+def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
+                 block: int, want_poffs: bool = True,
+                 out_widths: np.ndarray | None = None):
     """Parallel header walk given known per-frame byte offsets (OpenMP).
 
     Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit
     offsets — or None when ``want_poffs=False``). Raises ValueError on a
-    malformed stream.
+    malformed stream. ``payload``/``out_widths`` as in :func:`walk`.
     """
     lib = _load()
     if lib is None:
@@ -201,11 +231,14 @@ def walk_indexed(payload: bytes, fstarts: np.ndarray, nvalues: int,
     fstarts = np.ascontiguousarray(fstarts, dtype=np.int64)
     nframes = fstarts.shape[0]
     nb = -(-nvalues // block)
+    plen = (len(payload) - SLACK if isinstance(payload, np.ndarray)
+            else len(payload))
     buf = _padded_payload(payload)
-    widths = np.empty((nframes, nb), dtype=np.int32)
+    widths = (out_widths if out_widths is not None
+              else np.empty((nframes, nb), dtype=np.int32))
     poffs = np.empty((nframes, nb), dtype=np.int64) if want_poffs else None
     rc = lib.trpx_walk_indexed(
-        _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
+        _ptr(buf, ctypes.c_uint8), plen, nframes, nvalues, block,
         _ptr(fstarts, ctypes.c_int64),
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,

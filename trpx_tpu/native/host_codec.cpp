@@ -156,6 +156,24 @@ int trpx_walk(const uint8_t* payload, int64_t payload_len,
     return 0;
 }
 
+// Scatter per-frame payload chunks into fixed-stride rows (the decode
+// kernels' per-frame word buffers), zeroing each row's tail. Parallel
+// memcpy (OpenMP) — replaces a Python per-frame copy loop that cost as
+// much as the walk itself. starts/ends: absolute byte ranges per frame.
+void trpx_gather_frames(const uint8_t* payload, const int64_t* starts,
+                        const int64_t* ends, int64_t nframes,
+                        uint8_t* out, int64_t row_bytes) {
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < nframes; ++f) {
+        int64_t len = ends[f] - starts[f];
+        if (len > row_bytes) len = row_bytes;
+        if (len < 0) len = 0;
+        uint8_t* row = out + f * row_bytes;
+        std::memcpy(row, payload + starts[f], (size_t)len);
+        std::memset(row + len, 0, (size_t)(row_bytes - len));
+    }
+}
+
 // Walk frames whose byte offsets are ALREADY KNOWN (from a sidecar index
 // or a previous walk): each frame's header walk is then independent and
 // runs in parallel (OpenMP). fstarts: [nframes] absolute byte offsets.

@@ -544,22 +544,28 @@ def walk_archive(
         have_native = native.available()
     except Exception:
         have_native = False
+    if have_native:
+        # the padded uint8 copy of the payload (bit-reader slack) is a
+        # full memcpy — cache it on the archive across walks
+        buf = getattr(archive, "_padded_buf", None)
+        if buf is None:
+            buf = native.padded_buffer(payload)
+            try:
+                archive._padded_buf = buf
+            except AttributeError:
+                pass
     if have_native and getattr(archive, "frame_index", None) is not None:
         # sidecar/encoder-provided offsets: frames walk in parallel
-        from .. import native
-
         fidx = np.asarray(archive.frame_index, dtype=np.int64)
-        w, _o = native.walk_indexed(payload, fidx, meta.number_of_values,
-                                    meta.block, want_poffs=False)
-        widths[:F] = w
+        native.walk_indexed(buf, fidx, meta.number_of_values,
+                            meta.block, want_poffs=False,
+                            out_widths=widths[:F])
         starts = fidx
         ends = np.concatenate([fidx[1:], [meta.memory_size]])
     elif have_native:
-        from .. import native
-
-        w, _o, fstarts = native.walk(payload, F, meta.number_of_values,
-                                     meta.block, want_poffs=False)
-        widths[:F] = w
+        _w, _o, fstarts = native.walk(buf, F, meta.number_of_values,
+                                      meta.block, want_poffs=False,
+                                      out_widths=widths[:F])
         starts, ends = fstarts[:-1], fstarts[1:]
     else:
         starts = np.zeros(F, dtype=np.int64)
@@ -581,10 +587,14 @@ def walk_archive(
     cap_words = min(cap_words, spec.n_words)
     words = np.zeros((Fp, cap_words), dtype=np.uint32)
     byte_view = words.view(np.uint8).reshape(Fp, -1)
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    for f in range(F):
-        chunk = raw[starts[f] : ends[f]]
-        byte_view[f, : len(chunk)] = chunk
+    if have_native:
+        # parallel C memcpy of the ragged chunks into the padded rows
+        native.gather_frames(buf, starts, ends, byte_view)
+    else:
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        for f in range(F):
+            chunk = raw[starts[f] : ends[f]]
+            byte_view[f, : len(chunk)] = chunk
     return widths, poffs, words
 
 
