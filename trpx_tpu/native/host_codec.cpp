@@ -98,8 +98,10 @@ static inline int parse_header(uint64_t bits, int& width) {
 // header that starts within its first 52 bits — small-width blocks
 // (e.g. width 3: 40 bits/block) parse ~2 headers per load, and runs of
 // zero-width repeat blocks (1 bit each) parse ~50 per load. ~5x the
-// original 16-byte-window BitReader. Returns false if the walk ran
-// past the payload.
+// original 16-byte-window BitReader. (A branchless cmov parse was tried
+// and measured SLOWER on real diffraction streams: repeat headers come
+// in long, well-predicted runs, so the branchy early-out wins.)
+// Returns false if the walk ran past the payload.
 inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
                         uint64_t& pos, int& width,
                         int64_t nblocks, int64_t nvalues, int64_t block,

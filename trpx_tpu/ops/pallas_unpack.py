@@ -313,26 +313,51 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             u = u | ext
         planes[j] = jax.lax.bitcast_convert_type(u, _I32)
 
+    # PROGRESSIVE SHIFT: each block's bits sit at word 0 bit 0 after the
+    # splits. Funnel out the header once (hb < 32), then every step takes
+    # its ``stride`` values straight from word 0 (stride*max_width <= 32,
+    # so the group never straddles) and shifts the row down by
+    # stride*width bits — the live word span SHRINKS as values are
+    # consumed, so late steps touch 1-2 words. Replaces the per-value
+    # offset-windowing loop (word_idx compare+select over the full span
+    # per group) that dominated the decode ablation: ~2x fewer VPU ops.
+    nsrc = state.shape[1]
+
+    def _plane(lst, i):
+        return lst[i] if i < len(lst) else jnp.zeros((R, L), _U32)
+
+    rows = [state[:, i, :] for i in range(min(nsrc, cap + 1))]
+    sh = hb.astype(_U32)                                    # 1..12 bits
+    rows = [
+        (_plane(rows, i) >> sh)
+        | ((_plane(rows, i + 1) << (_U32(31) - sh)) << _U32(1))
+        for i in range(len(rows))
+    ]
+    # step shift = stride * TRUE width (not clipped: i32's 33-bit fields
+    # step by 33 -> one word + 1 bit); <= 64 always, so k in {0, 1}
+    step_bits = (stride * width).astype(_I32)
+    k1 = (step_bits >> 5) >= 1                              # bool (R, L)
+    s1 = (step_bits & 31).astype(_U32)
     for j in range(0, B, stride):
-        off = hb + j * width                                # (R, L)
-        word_idx = off >> 5
-        bit_idx = (off & 31).astype(_U32)
-        u = jnp.zeros((R, L), _U32)
-        i_lo = (1 + j) >> 5
-        i_hi = min(cap - 1, ((12 + (j + stride) * max_w) >> 5) + 1)
-        for i in range(i_lo, i_hi + 1):
-            cur = state[:, i, :]
-            nxt = state[:, i + 1, :]
-            win = (cur >> bit_idx) | (
-                (nxt << (_U32(31) - bit_idx)) << _U32(1)
-            )
-            u = jnp.where(word_idx == i, win, u)
+        u = rows[0]
         _store(j, u)
         for d in range(1, stride):
             if j + d < B:
                 _store(j + d, u >> (wu * _U32(d)))
         if cut is not None and 101 <= cut <= 100 + B and cut - 101 <= j:
             break  # partial-extraction cuts
+        rem = B - j - stride                     # values still to extract
+        if rem <= 0:
+            break
+        nw = min(len(rows), (rem * max_w + 31) // 32 + 1)
+        a = [
+            jnp.where(k1, _plane(rows, i + 1), _plane(rows, i))
+            for i in range(nw + 1)
+        ]
+        rows = [
+            (a[i] >> s1) | ((a[i + 1] << (_U32(31) - s1)) << _U32(1))
+            for i in range(nw)
+        ]
 
     # assemble the NATURAL (L, R*B) output in VMEM — value (l*R+r)*B + j
     # at [l, r*B+j] IS flat frame order, so the host's reshape is free
