@@ -41,6 +41,13 @@ def test_api_roundtrip_stack_host_and_device():
     np.testing.assert_array_equal(api.decompress(a_host, device=False), frames)
 
 
+def test_api_decompress_accepts_raw_bytes():
+    rng = np.random.default_rng(2)
+    img = _frame(rng)
+    arch = api.compress(img)
+    np.testing.assert_array_equal(api.decompress(arch.to_bytes()), img)
+
+
 def test_api_float_truncates_like_reference():
     x = np.array([[1.9, -2.9], [3.5, 0.0]], dtype=np.float64)
     arch = api.compress(x)

@@ -106,16 +106,19 @@ def output_dtype(meta: TrpxMeta) -> np.dtype:
 
 
 def decompress(
-    archive: TrpxArchive,
+    archive: TrpxArchive | bytes,
     dtype=None,
     device: bool | None = None,
 ) -> np.ndarray:
     """Decode an archive to pixels.
 
+    ``archive`` may be a :class:`TrpxArchive` or the raw ``.trpx`` bytes.
     Returns (F, h, w) when the header carries 2-D dimensions, else (F, n);
     single-frame archives are squeezed to (h, w) / (n,).
     ``dtype`` defaults to :func:`output_dtype` of the stream.
     """
+    if isinstance(archive, (bytes, bytearray, memoryview)):
+        archive = TrpxArchive.from_bytes(bytes(archive))
     meta = archive.meta
     dtype = np.dtype(dtype) if dtype is not None else output_dtype(meta)
     if meta.signed and dtype.kind == "u":

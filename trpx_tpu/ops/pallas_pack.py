@@ -108,11 +108,17 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
     return width, hb, hv, counts
 
 
-def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
+def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
             n_total: int | None = None, cut: int | None = None,
             natural: bool = False):
-    """One frame (or one TILE of a big frame, when ``prev_ref``/``n_total``
+    """One frame (or one TILE of a big frame, when ``carry_ref``/``n_total``
     are provided and the grid is (F, T)).
+
+    ``carry_ref`` is a (1,) SMEM scratch that carries the previous tile's
+    last block width across the sequential T grid steps (the repeat-coding
+    chain crosses tile boundaries, Terse.hpp:517-535); at t == 0 the chain
+    resets, so the carry never leaks between frames even when a Megacore
+    splits the F axis.
 
     ``cut`` (ablation only, tools/tpu_ablate.py): stop after that many
     merge levels (0 = stage only, -1 = plan only) and emit a checksum —
@@ -126,12 +132,12 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
     L = min(128, P)
     R = P // L
 
-    tiled = prev_ref is not None
+    tiled = carry_ref is not None
     if tiled:
         f = pl.program_id(0)
         t = pl.program_id(1)
         block_offset = t * P
-        prev0 = prev_ref[f, t]
+        prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
     else:
         f = pl.program_id(0)
         block_offset = None
@@ -156,6 +162,14 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, prev_ref=None,
         spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
         prev0=prev0,
     )
+    if tiled:
+        # hand this tile's last-block width to the next grid step (the
+        # final tile's store is never consumed; masked-max extraction —
+        # plain scalar extraction from a 2-D vector trips Mosaic)
+        r_i = jax.lax.broadcasted_iota(_I32, (R, L), 0)
+        l_i = jax.lax.broadcasted_iota(_I32, (R, L), 1)
+        last = (r_i == R - 1) & (l_i == L - 1)
+        carry_ref[0] = jnp.max(jnp.where(last, width, _I32(0)))
 
     def _emit_cut(chk):
         # ablation early-exit: a full-tensor checksum (so nothing traced
@@ -533,22 +547,24 @@ def encode(
 TILE_BLOCKS = 32768
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              merge: bool = True):
     """Big-frame encode: per-tile Pallas VMEM packs + a small jnp merge.
 
     Frames whose whole merge tree exceeds VMEM (2K/4K detectors) split
     into tiles of TILE_BLOCKS blocks. Each tile packs in VMEM on its own
-    grid step; the repeat-coding state crosses tiles via a per-tile
-    ``prev width`` scalar (computed in a one-pass jnp prepass); the <=32
-    tile streams then concatenate with the jnp ragged merge (unrolled
-    dynamic-slice path — negligible next to the tile packs).
+    grid step; the repeat-coding state crosses tiles via a (1,) SMEM
+    scratch carried across the sequential T grid steps. The tile streams
+    then concatenate with a single-pass PLACEMENT merge: per-tile funnel
+    shift to the sub-word phase, one boundary-word patch, and an
+    ascending dynamic-update-slice chain — O(total words) traffic,
+    replacing the O(levels) ragged merge that dominated the 2K profile
+    (6.6 of 17 ms measured round 2, tools/tpu_ablate_tiled.py).
 
     Same contract as encode_batch_pallas: (words, bits, maxw, over).
     """
-    from .pack import ragged_concat
-
     F = frames.shape[0]
     B = spec.block
     Tb = TILE_BLOCKS
@@ -566,44 +582,28 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     R = Tb // L
     x = frames.reshape(F, T, L, R * B)  # natural layout (free reshape)
 
-    # prev-width prepass: width of each tile's LAST block -> shifted
-    lastv = frames.reshape(F, T, Tb, B)[:, :, -1, :].astype(jnp.int32)
-    if spec.signed:
-        mag = jax.lax.bitcast_convert_type(
-            jnp.where(lastv < 0, -lastv, lastv), jnp.uint32)
-    else:
-        mag = jax.lax.bitcast_convert_type(lastv, jnp.uint32)
-    setb = jnp.bitwise_or.reduce(mag, axis=2)
-    nz = setb != 0
-    wlast = jnp.where(nz, 32 - jax.lax.clz(setb).astype(jnp.int32), 0)
-    if spec.signed:
-        wlast = wlast + nz.astype(jnp.int32)
-    prev0 = jnp.concatenate(
-        [jnp.zeros((F, 1), jnp.int32), wlast[:, :-1]], axis=1
-    )
-
     ow = _round_up(tspec.out_words + 3, 128)  # +3 scalar tail lanes
     kernel = functools.partial(_kernel, tspec, n_total=spec.n,
                                natural=True)
     words = pl.pallas_call(
-        lambda fr, pv, w: kernel(fr, w, prev_ref=pv),
+        lambda fr, w, carry: kernel(fr, w, carry_ref=carry),
         grid=(F, T),
         in_specs=[
             pl.BlockSpec((1, 1, L, R * B), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            # read-only constant-index SMEM block: fetched once, no
-            # per-step write-back (unlike scalar OUTPUT blocks)
-            pl.BlockSpec((F, T), lambda f, t: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, ow), lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, T, 1, ow), jnp.uint32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            # T must stay sequential (the carry chains through it); F may
+            # split across Megacore cores — each frame restarts at t == 0
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, prev0)
+    )(x)
     words = words.reshape(F, T, ow)
     wi = jax.lax.bitcast_convert_type(words, jnp.int32)
     bits = wi[:, :, ow - 3]
@@ -612,23 +612,55 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     # zero the scalar tail lanes before the tile-stream merge
     lane_i = jnp.arange(ow)[None, None, :]
     words = jnp.where(lane_i < ow - 3, words, jnp.uint32(0))
+    if not merge:  # ablation only (tools/tpu_ablate_tiled.py)
+        return (words, bits, jnp.max(maxw, axis=1), jnp.max(over, axis=1))
 
-    # merge the tile streams (T small: unrolled dynamic-slice levels)
-    Tp = 1
-    while Tp < T:
-        Tp *= 2
-    rows = words.reshape(F, T, ow)
-    lens = bits
-    if Tp > T:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((F, Tp - T, ow), jnp.uint32)], axis=1)
-        lens = jnp.concatenate(
-            [lens, jnp.zeros((F, Tp - T), jnp.int32)], axis=1)
-
-    def merge_one(r, ln):
-        w, total, _ = ragged_concat(r, ln, max_string_bits=ow * 32 - 31)
-        return w, total
-
-    wfull, totals = jax.vmap(merge_one)(rows, lens)
+    wfull, totals = _placement_merge(words, bits)
     return (wfull, totals, jnp.max(maxw, axis=1),
             jnp.max(over, axis=1))
+
+
+def _placement_merge(words: jax.Array, bits: jax.Array):
+    """Concatenate T tile bitstrings in ONE pass over the data.
+
+    ``words``: (F, T, ow) uint32, tile t's stream in bits [0, bits[f,t]),
+    zero beyond. Tile t's absolute start offset is the exclusive prefix
+    sum of ``bits``; each stream is funnel-shifted to its sub-word phase
+    (off & 31), the one word each tile shares with its predecessor is
+    patched in (tile boundaries fall mid-word), and the shifted streams
+    are written at their word offsets (off >> 5) with an ascending
+    dynamic-update-slice chain — later placements overwrite only their
+    predecessor's zero padding plus the patched boundary word.
+    """
+    F, T, ow = words.shape
+    csum = jnp.cumsum(bits, axis=1)
+    offs = jnp.concatenate(
+        [jnp.zeros((F, 1), jnp.int32), csum[:, :-1]], axis=1)
+    s = (offs & 31).astype(jnp.uint32)[:, :, None]
+    k = offs >> 5                                           # (F, T)
+    wp = jnp.concatenate(
+        [words, jnp.zeros((F, T, 1), jnp.uint32)], axis=2)  # (F, T, ow+1)
+    prevw = jnp.roll(wp, 1, axis=2)
+    widx = jnp.arange(ow + 1)[None, None, :]
+    prevw = jnp.where(widx >= 1, prevw, jnp.uint32(0))
+    shifted = (wp << s) | ((prevw >> (jnp.uint32(31) - s)) >> jnp.uint32(1))
+    if T > 1:
+        # boundary patch: tile t's first word also holds the tail bits of
+        # tile t-1 — word (k[t] - k[t-1]) of t-1's shifted stream
+        d = (k[:, 1:] - k[:, :-1])[..., None]               # (F, T-1, 1)
+        miss = jnp.take_along_axis(shifted[:, :-1], d, axis=2)
+        patch = jnp.concatenate(
+            [jnp.zeros((F, 1, 1), jnp.uint32), miss], axis=1)
+        shifted = jnp.where(widx == 0, shifted | patch, shifted)
+
+    out_words = T * ow
+    pad = 8  # DUS windows may run past the last tile's real end
+
+    def place(tiles, ks):
+        out = jnp.zeros((out_words + ow + pad,), jnp.uint32)
+        for t in range(T):
+            out = jax.lax.dynamic_update_slice(out, tiles[t], (ks[t],))
+        return out
+
+    wfull = jax.vmap(place)(shifted, k)
+    return wfull[:, :out_words], csum[:, -1]
