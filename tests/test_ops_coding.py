@@ -119,3 +119,22 @@ def test_device_decode_narrowing_clamps_like_host():
     udev = ops.decode(uarc, np.uint16)
     np.testing.assert_array_equal(udev, uhost)
     assert udev[0, 0] == 65535
+
+
+def test_pallas_routing_has_lower_bound():
+    """Frames under one full lane row of blocks (tree_rows < 128) must
+    NOT route to the Pallas kernels: Mosaic cannot lower the kernels'
+    lane rolls over a size-1 axis (found by /verify on the real chip —
+    api.compress of a 2x2 int16 crashed in lowering). They take the jnp
+    tree instead."""
+    from trpx_tpu.ops.coding import FrameSpec
+
+    tiny = FrameSpec.for_dtype(4, np.int16)
+    assert not tiny.pallas_ok and not tiny.pallas_ok_decode
+    # one lane row exactly (128 blocks of 12) is allowed again
+    ok = FrameSpec.for_dtype(128 * 12, np.uint16)
+    assert ok.pallas_ok and ok.pallas_ok_decode
+    # the full device api path round-trips a tiny frame
+    x = np.array([[-3, 4], [2, 1]], dtype=np.int16)
+    arc = ops.encode(x.reshape(1, -1))
+    np.testing.assert_array_equal(ops.decode(arc, np.int16), x.reshape(1, -1))

@@ -118,9 +118,17 @@ class FrameSpec:
         (double-buffered input windows + split temporaries; measured:
         2048x2048 u16 estimates 58 MB but needs 138 MB of the 128 MB
         VMEM). The 40 MB threshold keeps ~2x slack; larger frames take
-        the tiled (F, T)-grid kernels."""
+        the tiled (F, T)-grid kernels.
+
+        Lower bound: the kernel lays blocks on (R, 128) lane grids with
+        L = min(128, P); under one full lane row Mosaic lowering breaks
+        (a lane roll over a size-1 axis emits a 0-sized slice) and the
+        launch overhead dwarfs the work — tiny frames take the jnp
+        tree."""
         from .pack import row_capacity
 
+        if self.tree_rows < 128:
+            return False
         cap8 = -(-row_capacity(self.max_block_bits) // 8) * 8
         state = self.tree_rows * cap8 * 4 * 2
         inp = self.tree_rows * self.block * 4
@@ -136,9 +144,13 @@ class FrameSpec:
         estimates 23 MB but needs 170 MB of 128 MB VMEM, while 512x512
         u16 at 3.7 MB runs comfortably). Frames beyond the 8 MB estimate
         decode through the tiled (F, T) kernels — same throughput class,
-        bounded VMEM."""
+        bounded VMEM. Lower bound as in pallas_ok: under one full lane
+        row the split tree's lane rolls break Mosaic lowering — tiny
+        frames take the jnp tree."""
         from .pack import row_capacity
 
+        if self.tree_rows < 128:
+            return False
         cap8 = -(-row_capacity(self.max_block_bits) // 8) * 8
         state = self.tree_rows * cap8 * 4 * 2
         inp = self.tree_rows * self.block * 4
@@ -369,6 +381,10 @@ def _best_encoder():
             )
 
             def run(spec, frames):
+                if spec.tree_rows < 128:
+                    # tiny frames (< one lane row of blocks): jnp tree —
+                    # the Pallas layouts need a full 128-lane row
+                    return encode_batch_device(spec, frames)
                 if spec.pallas_ok:
                     return encode_batch_pallas(spec, frames)
                 # big frames (2K/4K detectors): per-tile VMEM packs +
@@ -613,6 +629,9 @@ def _best_decoder():
             )
 
             def run(spec, words, widths, poffs, ratio=None):
+                if spec.tree_rows < 128:
+                    # tiny frames: jnp tree (see pallas_ok lower bound)
+                    return decode_batch_device(spec, words, widths, poffs)
                 if spec.pallas_ok_decode:
                     if ratio is None:
                         # host-proven capacity bucket (only when widths
