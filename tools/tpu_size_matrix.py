@@ -1,7 +1,13 @@
 """Size-matrix validation on the real chip: every (frame size, dtype)
 routing combination encodes+decodes bit-exact through the ROUTED paths
-(whole-frame VMEM vs tiled kernels). Run after touching pallas_ok*/
-kernel layouts. Run: python tools/tpu_size_matrix.py
+(jnp tree for sub-lane-row frames, whole-frame VMEM, tiled kernels).
+For cases up to 1M values the archive bytes are also compared against
+format/pycodec.py (spec-as-code); larger cases check pixel round-trip
+(byte-exactness at 2K/4K lives in tools/tpu_tiled_exact.py). Run after
+touching pallas_ok*/kernel layouts.
+
+Run: python tools/tpu_size_matrix.py [--quick]
+(--quick runs only the mid-size cases added for the lane-row bound.)
 """
 
 import sys
@@ -12,32 +18,51 @@ import numpy as np, jax, jax.numpy as jnp
 cache = os.path.expanduser("~/.cache/trpx_tpu/jax")
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from trpx_tpu.format import pycodec
 from trpx_tpu.ops.coding import (FrameSpec, assemble_archive, walk_archive,
                                  narrow_values, _best_encoder, _best_decoder)
 
-CASES = [  # (side, dtype, hot)
-    (512, np.uint32, 2_000_000_000),   # whole-frame decode at the 8MB line
-    (1024, np.uint16, 60000),          # enc whole-frame, dec tiled
-    (1024, np.uint32, 2_000_000_000),  # enc whole-frame, dec tiled
+MID_CASES = [  # (n, dtype, hot) — small/mid frames around routing bounds
+    (4, np.int16, -3),               # single block -> jnp tree
+    (1535, np.uint16, 60000),        # just under one lane row -> jnp tree
+    (1536, np.uint16, 60000),        # exactly 128 blocks -> Pallas
+    (128 * 128, np.uint16, 60000),   # small detector
+    (50_000, np.uint16, 60000),      # partial last block (50000 % 12 = 8)
+    (50_000, np.int16, -30000),      # signed, partial block
+    (256 * 256, np.uint8, 255),      # u8 lane packing
+    (256 * 256, np.uint32, 2_000_000_000),
 ]
+BIG_CASES = [
+    (512 * 512, np.uint32, 2_000_000_000),   # whole-frame dec at the 8MB line
+    (1024 * 1024, np.uint16, 60000),         # enc whole-frame, dec tiled
+    (1024 * 1024, np.uint32, 2_000_000_000), # enc whole-frame, dec tiled
+]
+CASES = MID_CASES if "--quick" in sys.argv else MID_CASES + BIG_CASES
 enc = _best_encoder()
 dec = _best_decoder()
-for side, dt, hot in CASES:
-    F, n = 8, side * side
+for n, dt, hot in CASES:
+    F = 8
     spec = FrameSpec.for_dtype(n, dt, cap_ratio=0.25)
     rng = np.random.default_rng(0)
     frames = rng.poisson(3.0, size=(F, n)).astype(dt)
-    frames[rng.random((F, n)) < 200.0/n] = hot
+    # hot-pixel density of the BASELINE config (200 per 512^2 frame)
+    frames[rng.random((F, n)) < 200.0 / 512**2] = hot
     padded = np.zeros((F, spec.tree_rows * spec.block), dt)
     padded[:, :n] = frames
     t0 = time.time()
     w, b, m, o = jax.device_get(enc(spec, jnp.asarray(padded)))
     assert not np.any(o)
     arch = assemble_archive(spec, w, b, m)
+    if n <= 1 << 20:
+        ref = pycodec.encode([frames[i] for i in range(F)])
+        assert arch.payload == ref.payload, f"BYTES MISMATCH n={n} {dt}"
     widths, _p, wbuf = walk_archive(arch, spec)
     out = jax.device_get(dec(spec, wbuf, widths, None))
     got = narrow_values(np.asarray(out)[:, :n], np.dtype(dt))
-    assert np.array_equal(got, frames), f"MISMATCH {side} {dt}"
-    print(f"{side}^2 {np.dtype(dt).name}: routed enc(pallas_ok={spec.pallas_ok}) "
-          f"+ dec(whole={spec.pallas_ok_decode}) bit-exact "
-          f"({time.time()-t0:.0f}s, ratio {arch.meta.memory_size/frames.nbytes:.3f})", flush=True)
+    assert np.array_equal(got, frames), f"MISMATCH n={n} {dt}"
+    print(f"n={n} {np.dtype(dt).name}: routed "
+          f"enc(pallas={spec.pallas_ok}) dec(whole={spec.pallas_ok_decode}) "
+          f"{'byte' if n <= 1 << 20 else 'pixel'}-exact "
+          f"({time.time()-t0:.0f}s, ratio {arch.meta.memory_size/frames.nbytes:.3f})",
+          flush=True)
+print("ALL EXACT")
