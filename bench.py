@@ -173,7 +173,7 @@ def bench_2k(jax, jnp, reps):
         tile_prepass,
     )
 
-    F = 8
+    F = 32  # >= 20 ms of device work behind the RTT (see main)
     n = 2048 * 2048
     spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=0.25)
     x = _synth(jax, jnp, spec, F, 2_000_000_000, seed=2)
@@ -241,7 +241,10 @@ def main() -> None:
     print(f"device: {dev.platform} {kind}", file=sys.stderr)
     sol = HBM_GBS.get(kind)
 
-    F = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # batch must put >= 20 ms of device work behind the ~30 ms tunnel RTT,
+    # else the RTT subtraction's +-2 ms jitter dominates the measurement
+    # (256 frames at 43k fps = 6 ms -> +-30% run-to-run swing observed)
+    F = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 
     r5 = bench_512(jax, jnp, F, reps)

@@ -106,21 +106,31 @@ inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
                         uint64_t& pos, int& width,
                         int64_t nblocks, int64_t nvalues, int64_t block,
                         int32_t* widths, int64_t* poffs) {
-    uint64_t base = UINT64_MAX;   // byte address of the cached window
-    uint64_t w64 = 0;
-    for (int64_t b = 0; b < nblocks; ++b) {
-        if ((pos >> 3) >= payload_len) return false;
-        uint64_t off = pos - base * 8;
-        if (base == UINT64_MAX || off > 52) {
-            base = pos >> 3;
-            std::memcpy(&w64, buf + base, 8);
-            off = pos & 7;
+    const int64_t last = nblocks - 1;
+    const uint64_t tail = (uint64_t)(nvalues - last * block);
+    const uint64_t blk = (uint64_t)block;
+    int64_t b = 0;
+    while (b < nblocks) {
+        uint64_t base = pos >> 3;
+        // one bounds check per REFILL (not per block): loads past the
+        // logical end are safe (callers guarantee >= 16 bytes of slack),
+        // and a runaway walk advances `base` every iteration, so it is
+        // caught within one window
+        if (base >= payload_len) return false;
+        uint64_t w64;
+        std::memcpy(&w64, buf + base, 8);
+        uint64_t off = pos & 7;
+        // parse every header that starts within the window's first
+        // 52 bits — ~2 per load at width 3, ~50 across zero-width runs
+        while (off <= 52) {
+            int hb = parse_header(w64 >> off, width);
+            widths[b] = width;
+            if (poffs) poffs[b] = (int64_t)(base * 8 + off + (uint64_t)hb);
+            off += (uint64_t)hb
+                 + (uint64_t)width * (b == last ? tail : blk);
+            if (++b >= nblocks) break;
         }
-        pos += (uint64_t)parse_header(w64 >> off, width);
-        widths[b] = width;
-        if (poffs) poffs[b] = (int64_t)pos;   // callers may skip offsets
-        int64_t count = std::min(block, nvalues - b * block);
-        pos += (uint64_t)(width * count);
+        pos = base * 8 + off;
     }
     return true;
 }
