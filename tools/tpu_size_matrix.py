@@ -22,27 +22,27 @@ from trpx_tpu.format import pycodec
 from trpx_tpu.ops.coding import (FrameSpec, assemble_archive, walk_archive,
                                  narrow_values, _best_encoder, _best_decoder)
 
-MID_CASES = [  # (n, dtype, hot) — small/mid frames around routing bounds
-    (4, np.int16, -3),               # single block -> jnp tree
-    (1535, np.uint16, 60000),        # just under one lane row -> jnp tree
-    (1536, np.uint16, 60000),        # exactly 128 blocks -> Pallas
-    (128 * 128, np.uint16, 60000),   # small detector
-    (50_000, np.uint16, 60000),      # partial last block (50000 % 12 = 8)
-    (50_000, np.int16, -30000),      # signed, partial block
-    (256 * 256, np.uint8, 255),      # u8 lane packing
-    (256 * 256, np.uint32, 2_000_000_000),
+MID_CASES = [  # (n, dtype, hot, cap_ratio) — frames around routing bounds
+    (4, np.int16, -3, 0.5),            # single block -> jnp tree
+    (1535, np.uint16, 60000, 0.25),    # 128 blocks exactly (1535/12 -> nb=128)
+    (1536, np.uint16, 60000, 0.25),    # 128 full blocks -> Pallas
+    (128 * 128, np.uint16, 60000, 0.25),   # small detector
+    (50_000, np.uint16, 60000, 0.25),  # partial last block (50000 % 12 = 8)
+    (50_000, np.int16, -30000, 0.25),  # signed, partial block
+    (256 * 256, np.uint8, 255, 0.6),   # u8: lambda=3 needs ~width 4 of 8
+    (256 * 256, np.uint32, 2_000_000_000, 0.25),
 ]
 BIG_CASES = [
-    (512 * 512, np.uint32, 2_000_000_000),   # whole-frame dec at the 8MB line
-    (1024 * 1024, np.uint16, 60000),         # enc whole-frame, dec tiled
-    (1024 * 1024, np.uint32, 2_000_000_000), # enc whole-frame, dec tiled
+    (512 * 512, np.uint32, 2_000_000_000, 0.25),  # whole dec at the 8MB line
+    (1024 * 1024, np.uint16, 60000, 0.25),        # enc whole, dec tiled
+    (1024 * 1024, np.uint32, 2_000_000_000, 0.25),
 ]
 CASES = MID_CASES if "--quick" in sys.argv else MID_CASES + BIG_CASES
 enc = _best_encoder()
 dec = _best_decoder()
-for n, dt, hot in CASES:
+for n, dt, hot, ratio in CASES:
     F = 8
-    spec = FrameSpec.for_dtype(n, dt, cap_ratio=0.25)
+    spec = FrameSpec.for_dtype(n, dt, cap_ratio=ratio)
     rng = np.random.default_rng(0)
     frames = rng.poisson(3.0, size=(F, n)).astype(dt)
     # hot-pixel density of the BASELINE config (200 per 512^2 frame)

@@ -29,6 +29,9 @@ _DEVICE_KINDS = {
     np.dtype(np.int8), np.dtype(np.int16), np.dtype(np.int32),
 }
 
+#: auto mode (device=None) keeps workloads below this on the host codec
+_DEVICE_MIN_BYTES = 4 << 20
+
 
 def _as_stack(frames) -> tuple[np.ndarray, tuple[int, ...]]:
     """Normalize input to (F, n) plus the dimensions attribute tuple."""
@@ -70,7 +73,14 @@ def compress(
     stack, dims = _as_stack(frames)
     if dimensions is not None:
         dims = tuple(dimensions)
-    use_device = device if device is not None else stack.dtype in _DEVICE_KINDS
+    use_device = device if device is not None else (
+        stack.dtype in _DEVICE_KINDS
+        # small workloads: the native host codec (~1 GB/s) finishes in
+        # single-digit ms — under any device dispatch, and it sidesteps
+        # per-odd-shape XLA compiles (a 4-value frame measured minutes
+        # of compile on the tunneled chip, tools/tpu_size_matrix.py)
+        and stack.nbytes >= _DEVICE_MIN_BYTES
+    )
     if use_device:
         from . import ops  # deferred: jax import is heavy
 
@@ -131,7 +141,11 @@ def decompress(
         dtype in _DEVICE_KINDS
         and meta.prolix_bits <= capacity + (1 if dtype.kind == "i" else 0)
     )
-    use_device = device if device is not None else device_ok
+    raw_bytes = (meta.number_of_frames * meta.number_of_values
+                 * dtype.itemsize)
+    use_device = device if device is not None else (
+        device_ok and raw_bytes >= _DEVICE_MIN_BYTES
+    )
     if use_device and not device_ok:
         raise ValueError(
             f"device decode unavailable for dtype {dtype} with "
