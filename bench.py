@@ -64,16 +64,32 @@ def _rtt_timer(null_fn, reps):
 
 
 def _synth(jax, jnp, spec, F, hot_val, seed=0):
-    """Device-side diffraction frames padded to the kernel grid."""
-    key = jax.random.PRNGKey(seed)
+    """Device-side diffraction frames padded to the kernel grid.
+
+    Synthesized in <=256-frame chunks: the Poisson rejection sampler's
+    f32 temps for a 1024-frame batch alone exceed HBM (observed 15.75G
+    OOM); chunking bounds the live temp set while the final batch still
+    lands in one contiguous array."""
     n_full = spec.tree_rows * spec.block
     dt = jnp.uint16 if spec.max_width <= 16 else jnp.uint32
-    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(dt)
-    lane = jnp.arange(n_full)[None, :]
-    x = jnp.where(lane < spec.n, x, 0)
-    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
-           < 200.0 / spec.n)
-    x = jnp.where(hot & (lane < spec.n), dt(hot_val), x)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chunk(key, Fc):
+        x = jax.random.poisson(key, 3.0, (Fc, n_full)).astype(dt)
+        lane = jnp.arange(n_full)[None, :]
+        x = jnp.where(lane < spec.n, x, 0)
+        hot = (jax.random.uniform(jax.random.fold_in(key, 1),
+                                  (Fc, n_full)) < 200.0 / spec.n)
+        return jnp.where(hot & (lane < spec.n), dt(hot_val), x)
+
+    step = min(F, 256)
+    parts = []
+    for i in range(0, F, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        parts.append(chunk(key, min(step, F - i)))
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return jax.block_until_ready(x)
 
 

@@ -202,11 +202,16 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         )
         Sc = Cc // 128
         A = (rows3 & amask)[:, :Sc, :]
-        # B: shift down by la to bit 0, keep the first Cc words
+        # B: shift down by la to bit 0, keep the first Cc words.
+        # la is bounded by BOTH the child's proven capacity (la <=
+        # Cc*32-31, _prove_ratio) and its combinatorial maximum
+        # child_blocks*mbb bits, so the lifting loop stops at the
+        # smaller — saves 1-2 full-array roll passes per level.
+        la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
         k3 = (la3 >> 5).astype(_U32)
         Bp = rows3
         step = 1
-        while step <= C:
+        while step <= la_w_max:
             bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
             Bp = jnp.where(bit, _roll3_down(Bp, step), Bp)
             step *= 2
@@ -252,11 +257,14 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             ),
         )
         A = (state & amask)[:, :Cc, :]
-        # B: shift down by la to bit 0, keep the first Cc words
+        # B: shift down by la to bit 0, keep the first Cc words (lift
+        # bounded by the child's proven capacity / combinatorial max,
+        # as in phase 2 above)
+        la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
         k = (la3[:, :1, :] >> 5).astype(_U32)
         Bp = state
         step = 1
-        while step <= C:
+        while step <= la_w_max:
             bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
             Bp = jnp.where(bit, roll_down(Bp, step, 1), Bp)
             step *= 2
