@@ -105,6 +105,14 @@ def bench_512(jax, jnp, F, reps):
     n = 512 * 512
     spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.25)
     x = _synth(jax, jnp, spec, F, 60000)
+    try:
+        # measured per-level capacity schedule (production default):
+        # the merge tree carries no slack this batch doesn't need
+        from trpx_tpu.ops.coding import measured_spec
+
+        spec = measured_spec(spec, x)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"measured schedule unavailable ({e})", file=sys.stderr)
 
     kernel_name = "pallas-vmem"
     try:
@@ -145,11 +153,11 @@ def bench_512(jax, jnp, F, reps):
     dec_name = "jnp-tree"
     try:
         from trpx_tpu.ops.pallas_unpack import (
-            choose_ratio,
+            choose_schedule,
             decode_batch_pallas,
         )
 
-        ratio = choose_ratio(spec, widths)
+        ratio = choose_schedule(spec, widths)
         wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
 
         @jax.jit
@@ -193,6 +201,12 @@ def bench_2k(jax, jnp, reps):
     n = 2048 * 2048
     spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=0.25)
     x = _synth(jax, jnp, spec, F, 2_000_000_000, seed=2)
+    try:
+        from trpx_tpu.ops.coding import measured_spec
+
+        spec = measured_spec(spec, x)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"measured schedule unavailable ({e})", file=sys.stderr)
 
     @jax.jit
     def enc_sum(fr):

@@ -69,3 +69,92 @@ def test_out_words_smaller_with_ratio():
     spec_half = FrameSpec.for_dtype(512 * 512, np.uint16, cap_ratio=0.5)
     assert spec_half.out_words < spec_full.out_words
     assert row_capacity(spec_full.max_block_bits) == 8
+
+
+# ---- measured per-level capacity schedules --------------------------------
+
+def test_quant_words_grid():
+    from trpx_tpu.ops.pack import _quant_words
+
+    assert _quant_words(1) == 8 and _quant_words(8) == 8
+    for w in (9, 14, 27, 100, 195, 4097):
+        q = _quant_words(w)
+        assert q >= w
+        assert q < 1.26 * w or q == 10  # <=25% overshoot (min step at 8->10)
+    # monotone
+    prev = 0
+    for w in range(1, 3000, 7):
+        q = _quant_words(w)
+        assert q >= prev
+        prev = q
+
+
+def test_measured_schedule_proven_bounds():
+    from trpx_tpu.ops.pack import measured_schedule
+
+    P, cap0, mbb = 1024, 8, 204
+    rng = np.random.default_rng(2)
+    bits = rng.integers(1, 200, size=(4, P)).astype(np.int64)
+    # per-level maxima like the prepass computes them
+    maxima, node, cb = [], bits, 1
+    while cb < P:
+        cb *= 2
+        node = node.reshape(4, P // cb, 2).sum(axis=2)
+        maxima.append(int(node.max()))
+    sched = measured_schedule(P, cap0, mbb, maxima)
+    assert len(sched) == 11 and sched[0] == cap0
+    cb = 1
+    for lev, mb in enumerate(maxima, start=1):
+        cb *= 2
+        worst = min(cap0 * cb, -(-(cb * mbb + 31) // 32))
+        assert mb <= sched[lev] * 32 - 31      # the kernels' funnel margin
+        assert sched[lev] <= worst
+        assert sched[lev] >= sched[lev - 1] or sched[lev] == worst
+
+
+def test_measured_encode_bit_identical():
+    """cap_ratio='measured' (the default) builds a proven per-level
+    schedule from the batch and must stay bit-identical to the
+    spec-as-code golden encoder — including on worst-case data, where
+    the schedule clamps to full capacities."""
+    rng = np.random.default_rng(5)
+    n = 512 * 24
+    fr = rng.poisson(3.0, size=(8, n)).astype(np.uint16)
+    fr[rng.random((8, n)) < 0.002] = 60000
+    arch = ops.encode(fr, cap_ratio="measured")
+    assert arch.to_bytes() == pycodec.encode(list(fr)).to_bytes()
+
+    bad = np.full((2, n), 65535, np.uint16)
+    arch2 = ops.encode(bad, cap_ratio="measured")
+    assert arch2.to_bytes() == pycodec.encode(list(bad)).to_bytes()
+
+
+def test_choose_schedule_decode_exact_interpret():
+    """Pallas decode driven by a measured schedule tuple is value-exact
+    (interpreter mode on the CPU mesh)."""
+    import jax.numpy as jnp
+
+    from trpx_tpu.ops.coding import walk_archive
+    from trpx_tpu.ops.pallas_unpack import (
+        choose_schedule,
+        decode_batch_pallas,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 256 * 256
+    fr = rng.poisson(3.0, size=(2, n)).astype(np.uint16)
+    fr[rng.random((2, n)) < 0.001] = 60000
+    arch = ops.encode(fr, cap_ratio="measured")
+    spec = FrameSpec.for_dtype(n, np.uint16)
+    widths, _p, words = walk_archive(arch, spec)
+    sched = choose_schedule(spec, widths)
+    P = spec.tree_rows
+    assert isinstance(sched, tuple) and len(sched) == P.bit_length()
+    out = np.asarray(
+        jax.device_get(
+            decode_batch_pallas(
+                spec, jnp.asarray(words), jnp.asarray(widths), True, sched
+            )
+        )
+    )[:, :n]
+    assert np.array_equal(out.astype(np.uint16), fr)

@@ -30,7 +30,7 @@ from trpx_tpu.ops.coding import (  # noqa: E402
 )
 from trpx_tpu.ops.pallas_pack import encode_batch_pallas  # noqa: E402
 from trpx_tpu.ops.pallas_unpack import (  # noqa: E402
-    choose_ratio,
+    choose_schedule,
     decode_batch_pallas,
 )
 
@@ -57,7 +57,7 @@ def main():
     w, b, m, _ = jax.device_get(encode_batch_pallas(spec, x))
     arch = assemble_archive(spec, w, b, m)
     widths, _p, wbuf = walk_archive(arch, spec)
-    ratio = choose_ratio(spec, widths)
+    ratio = choose_schedule(spec, widths)
     print(f"ratio {ratio}", file=sys.stderr)
     wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
 

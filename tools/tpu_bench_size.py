@@ -104,11 +104,11 @@ def main():
 
     if spec.pallas_ok_decode:
         from trpx_tpu.ops.pallas_unpack import (
-            choose_ratio,
+            choose_schedule,
             decode_batch_pallas,
         )
 
-        r = choose_ratio(spec, widths)
+        r = choose_schedule(spec, widths)
         wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
 
         @jax.jit

@@ -64,6 +64,11 @@ class FrameSpec:
     signed: bool
     max_width: int  # widest possible field for the dtype (incl. sign bit)
     cap_ratio: float = 1.0
+    #: MEASURED per-level capacity schedule (words, index = log2(blocks));
+    #: when set it overrides the ratio formula — built by
+    #: pack.measured_schedule from proven per-level node maxima, so the
+    #: merge/split trees carry no worst-case slack the data doesn't need
+    cap_sched: tuple[int, ...] | None = None
 
     @property
     def nb(self) -> int:
@@ -94,9 +99,17 @@ class FrameSpec:
         return p
 
     @property
+    def soft(self) -> bool:
+        """Capacities below worst case (ratio < 1 or measured schedule):
+        the merge tree clamps level buffers and flags overflow."""
+        return self.cap_ratio < 1.0 or self.cap_sched is not None
+
+    @property
     def pack_caps(self) -> tuple[int, ...]:
         from .pack import capacity_schedule, row_capacity
 
+        if self.cap_sched is not None:
+            return self.cap_sched
         return tuple(
             capacity_schedule(
                 self.tree_rows, row_capacity(self.max_block_bits),
@@ -159,7 +172,12 @@ class FrameSpec:
     def with_ratio(self, ratio: float) -> "FrameSpec":
         from dataclasses import replace
 
-        return replace(self, cap_ratio=ratio)
+        return replace(self, cap_ratio=ratio, cap_sched=None)
+
+    def with_sched(self, sched: tuple[int, ...]) -> "FrameSpec":
+        from dataclasses import replace
+
+        return replace(self, cap_sched=tuple(sched))
 
     @classmethod
     def for_dtype(cls, n: int, dtype, block: int = DEFAULT_BLOCK,
@@ -268,7 +286,7 @@ def encode_frame_device(spec: FrameSpec, frame: jax.Array):
     words, total_bits, overflow = pack_frame(
         lo, width, hb, hv.astype(_U32), plan["counts"],
         spec.max_block_bits, out_words=spec.out_words, values_hi=hi,
-        caps=spec.pack_caps if spec.cap_ratio < 1.0 else None,
+        caps=spec.pack_caps if spec.soft else None,
     )
     return words, total_bits, jnp.max(width), overflow
 
@@ -296,10 +314,13 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec,
     return out
 
 
-#: default capacity mode: "auto" runs a cheap device prepass that picks
-#: the smallest PROVEN bucket (0.25/0.5/1.0 of worst case); an explicit
-#: float keeps the optimistic-with-fallback behavior
-DEFAULT_CAP_RATIO = "auto"
+#: default capacity mode: "measured" runs a cheap device prepass that
+#: measures per-level node maxima and builds a PROVEN quantized capacity
+#: schedule (pack.measured_schedule) — the merge tree carries no slack
+#: the batch doesn't need; "auto" picks among the fixed ratio buckets
+#: (0.25/0.5/1.0 of worst case); an explicit float keeps the
+#: optimistic-with-fallback behavior
+DEFAULT_CAP_RATIO = "measured"
 
 
 def _encode_bucket_jit(spec, padded):
@@ -315,6 +336,32 @@ def _encode_bucket_jit(spec, padded):
 
 
 _ENCODE_BUCKET_FN = None
+
+
+def _encode_maxima_jit(spec, padded):
+    """Module-level jitted per-level maxima prepass (measured mode)."""
+    from .pack import encode_level_maxima
+
+    global _ENCODE_MAXIMA_FN
+    if _ENCODE_MAXIMA_FN is None:
+        _ENCODE_MAXIMA_FN = jax.jit(encode_level_maxima, static_argnums=0)
+    return _ENCODE_MAXIMA_FN(spec, padded)
+
+
+_ENCODE_MAXIMA_FN = None
+
+
+def measured_spec(spec: FrameSpec, padded) -> FrameSpec:
+    """Return ``spec`` with a PROVEN measured capacity schedule for this
+    batch: one device prepass + one small vector fetch (same round-trip
+    count as the bucket prepass)."""
+    from .pack import measured_schedule, row_capacity
+
+    mx = np.asarray(jax.device_get(_encode_maxima_jit(spec, padded)))
+    return spec.with_sched(
+        measured_schedule(spec.tree_rows, row_capacity(spec.max_block_bits),
+                          spec.max_block_bits, mx)
+    )
 
 
 def encode(
@@ -345,13 +392,21 @@ def encode(
     spec = FrameSpec.for_dtype(n, frames.dtype, block)
     run = _best_encoder()
     padded = _pad_batch(frames, spec)
-    if cap_ratio == "auto" and F <= 8:
+    if cap_ratio in ("auto", "measured") and F <= 8:
         # small batches (the 1-frame CLI case): the prepass's blocking
         # scalar fetch would dominate; go optimistic instead — the
         # overflow flag rides the same device_get as the outputs, so the
         # happy path costs ONE round trip (VERDICT r1 weak #6)
         cap_ratio = ENCODE_BUCKETS[0]
-    if cap_ratio == "auto":
+    if cap_ratio == "measured":
+        # one small vector fetch proves a per-level measured schedule;
+        # no overflow possible (the schedule is built from these frames)
+        spec = measured_spec(spec, padded)
+        words, bits, maxw, over = jax.device_get(run(spec, padded))
+        if bool(np.any(over[:F])):  # pragma: no cover - proven impossible
+            spec = spec.with_ratio(1.0)
+            words, bits, maxw, over = jax.device_get(run(spec, padded))
+    elif cap_ratio == "auto":
         # one tiny scalar fetch proves the bucket; no overflow possible
         idx = int(jax.device_get(_encode_bucket_jit(spec, padded)))
         ratios = tuple(ENCODE_BUCKETS) + (1.0,)
@@ -360,7 +415,7 @@ def encode(
     else:
         spec = spec.with_ratio(float(cap_ratio))
         words, bits, maxw, over = jax.device_get(run(spec, padded))
-        if spec.cap_ratio < 1.0 and bool(np.any(over[:F])):
+        if spec.soft and bool(np.any(over[:F])):
             # optimistic capacities overflowed (incompressible data):
             # re-encode with the guaranteed worst-case kernel
             spec = spec.with_ratio(1.0)
@@ -623,7 +678,7 @@ def _best_decoder():
     try:
         if jax.default_backend() == "tpu":
             from .pallas_unpack import (
-                choose_ratio,
+                choose_schedule,
                 decode_batch_pallas,
                 decode_tiled_host,
             )
@@ -634,10 +689,11 @@ def _best_decoder():
                     return decode_batch_device(spec, words, widths, poffs)
                 if spec.pallas_ok_decode:
                     if ratio is None:
-                        # host-proven capacity bucket (only when widths
-                        # are concrete; inside shard_map they are traced)
+                        # host-proven MEASURED capacity schedule (only
+                        # when widths are concrete; inside shard_map
+                        # they are traced)
                         ratio = (
-                            choose_ratio(spec, widths)
+                            choose_schedule(spec, widths)
                             if isinstance(widths, np.ndarray) else 1.0
                         )
                     return decode_batch_pallas(

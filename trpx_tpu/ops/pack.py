@@ -441,3 +441,64 @@ def encode_bucket_device(spec, frames: jax.Array) -> jax.Array:
     for k in range(len(ENCODE_BUCKETS) - 1, -1, -1):
         idx = jnp.where(fits[k], jnp.int32(k), idx)
     return idx
+
+
+def _quant_words(w: int) -> int:
+    """Smallest grid value >= w; grid = {1, 1.25, 1.5, 1.75} * 2^k words,
+    min 8. Quantizing measured capacities onto this grid bounds the
+    number of distinct schedules (jit recompiles) while capping the
+    overshoot vs the true maximum at 25%."""
+    w = int(w)
+    if w <= 8:
+        return 8
+    k = (w - 1).bit_length() - 1        # 2^k < w <= 2^(k+1)
+    for m in (4, 5, 6, 7, 8):
+        c = (m << k) >> 2
+        if c >= w:
+            return c
+    raise AssertionError("unreachable")
+
+
+def measured_schedule(P: int, cap0: int, max_block_bits: int,
+                      level_max_bits) -> tuple[int, ...]:
+    """Per-level word capacities PROVEN from measured node maxima.
+
+    ``level_max_bits``: log2(P) per-level maxima in bits, level i = the
+    largest node of 2^(i+1) blocks anywhere in the batch (the output of
+    ``encode_level_maxima`` on device, or pairwise sums of
+    pallas_unpack.block_bits_host on the walk tables). Returns a
+    capacity_schedule-shaped tuple — index 0 (single block) = ``cap0``,
+    each level ceil((max+31)/32) words quantized up (25% max overshoot,
+    _quant_words) and clamped at the worst case. The +31-bit margin
+    matches the split/merge kernels' funnel-shift reads, so a schedule
+    built from the same data can never overflow.
+    """
+    caps = [cap0]
+    blocks = 1
+    for mb in level_max_bits:
+        blocks *= 2
+        worst = min(cap0 * blocks,
+                    -(-(blocks * max_block_bits + 31) // 32))
+        need = -(-(int(mb) + 31) // 32)
+        caps.append(max(1, min(_quant_words(need), worst)))
+    return tuple(caps)
+
+
+def encode_level_maxima(spec, frames: jax.Array) -> jax.Array:
+    """Device prepass for the MEASURED capacity schedule: per-level max
+    node bit-length over the whole batch -> (log2(P),) int32, level i =
+    nodes of 2^(i+1) blocks. One vector fetch (same round trip as the
+    bucket prepass); the host quantizes it into a proven schedule via
+    ``measured_schedule``."""
+    bits = block_bits_device(spec, frames)                  # (F, P)
+    P = spec.tree_rows
+    out = []
+    node = bits
+    blocks = 1
+    while blocks < P:
+        blocks *= 2
+        node = node.reshape(
+            node.shape[0], node.shape[1] // 2, 2
+        ).sum(axis=2)
+        out.append(jnp.max(node))
+    return jnp.stack(out).astype(jnp.int32)

@@ -128,7 +128,7 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     # sublane-align the level-0 capacity (e.g. uint8's 4 words -> 8)
     cap = _round_up(row_capacity(spec.max_block_bits), 8)
     caps = list(spec.pack_caps)
-    use_soft = spec.cap_ratio < 1.0
+    use_soft = spec.soft
     L = min(128, P)
     R = P // L
 
@@ -535,7 +535,7 @@ def encode(
     words, bits, maxw, over = jax.device_get(
         encode_batch_pallas(spec, padded, interpret)
     )
-    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+    if spec.soft and bool(np.any(over)):
         spec = spec.with_ratio(1.0)
         words, bits, maxw, over = jax.device_get(
             encode_batch_pallas(spec, padded, interpret)
@@ -570,8 +570,14 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     Tb = TILE_BLOCKS
     T = -(-spec.nb // Tb)
     total_blocks = T * Tb
+    # a tile's subtree nodes are a subset of the frame's tree nodes
+    # (contiguous aligned block groups), so a measured frame schedule
+    # truncated to the tile depth stays proven for every tile
+    tsched = (spec.cap_sched[: Tb.bit_length()]
+              if spec.cap_sched is not None else None)
     tspec = FrameSpec(n=Tb * B, block=B, signed=spec.signed,
-                      max_width=spec.max_width, cap_ratio=spec.cap_ratio)
+                      max_width=spec.max_width, cap_ratio=spec.cap_ratio,
+                      cap_sched=tsched)
     if frames.shape[1] < total_blocks * B:
         pad = jnp.zeros((F, total_blocks * B - frames.shape[1]),
                         frames.dtype)

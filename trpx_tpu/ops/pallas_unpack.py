@@ -38,6 +38,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sched_cap(ratio, child_blocks: int, mbb: int, cap0: int) -> int:
+    """Capacity (words) for a split-tree node of ``child_blocks`` blocks
+    under ``ratio``: a MEASURED per-level schedule when a tuple
+    (pack.measured_schedule, index = log2(blocks)), else the fixed
+    ratio-bucket formula."""
+    if isinstance(ratio, tuple):
+        return ratio[child_blocks.bit_length() - 1]
+    return _node_cap_words(child_blocks, mbb, cap0, ratio)
+
+
 def _node_cap_words(child_blocks: int, mbb: int, cap0: int,
                     ratio: float) -> int:
     """Capacity (words) for a split-tree node of ``child_blocks`` blocks.
@@ -182,7 +192,7 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         S = C // 128
         child_blocks = P // (2 * M)
         Cc = min(
-            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 1024),
+            _round_up(_sched_cap(ratio, child_blocks, mbb, cap), 1024),
             C,
         )
         la = la_p[:M, :1].astype(_I32)                      # (M, 1)
@@ -241,7 +251,7 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         M = Rn
         child_blocks = R // (2 * M)
         Cc = min(
-            _round_up(_node_cap_words(child_blocks, mbb, cap, ratio), 8),
+            _round_up(_sched_cap(ratio, child_blocks, mbb, cap), 8),
             C,
         )
         la3 = la[:, None, :].astype(_I32)                   # (M, 1, L)
@@ -441,6 +451,45 @@ def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
     return _prove_ratio(bits, spec)
 
 
+def _level_maxima(bits: np.ndarray, P: int) -> list[int]:
+    """Per-level max node bit-length for N trees of P blocks: level i =
+    the largest node of 2^(i+1) blocks (pairing matches the kernels:
+    contiguous aligned block groups)."""
+    N = bits.shape[0]
+    node = bits
+    cb = 1
+    out = []
+    while cb < P:
+        cb *= 2
+        node = node.reshape(N, P // cb, 2).sum(axis=2)
+        out.append(int(node.max(initial=0)))
+    return out
+
+
+def _measured_sched(bits: np.ndarray, spec: FrameSpec,
+                    P: int) -> tuple[int, ...]:
+    from .pack import measured_schedule
+
+    return measured_schedule(P, row_capacity(spec.max_block_bits),
+                             spec.max_block_bits, _level_maxima(bits, P))
+
+
+def choose_schedule(spec: FrameSpec,
+                    widths: np.ndarray) -> tuple[int, ...]:
+    """MEASURED per-level capacity schedule for whole-frame VMEM decode,
+    proven from the walk's width tables (pack.measured_schedule): the
+    split tree carries no worst-case slack the archive doesn't need.
+    Pass the returned tuple as ``decode_batch_pallas``'s ``ratio``."""
+    P = spec.tree_rows
+    bits = block_bits_host(spec, widths)
+    F, nb = bits.shape
+    if nb < P:
+        bits = np.concatenate(
+            [bits, np.zeros((F, P - nb), np.int64)], axis=1
+        )
+    return _measured_sched(bits, spec, P)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
                         widths: jax.Array, interpret: bool = False,
@@ -547,8 +596,11 @@ def tile_prepass(spec: FrameSpec, widths: np.ndarray, words: np.ndarray,
     prev0 = np.zeros((F, T), np.int32)
     if T > 1:
         prev0[:, 1:] = widths[:, Tb - 1 : (T - 1) * Tb : Tb]
-    ratio = _prove_ratio(bits_p.reshape(F * T, Tb), _tile_spec(spec, Tb))
-    return words_t, shift, prev0, ratio
+    # measured per-level schedule over every (frame, tile) subtree —
+    # static for the jit, quantized to bound recompiles
+    sched = _measured_sched(bits_p.reshape(F * T, Tb),
+                            _tile_spec(spec, Tb), Tb)
+    return words_t, shift, prev0, sched
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
@@ -642,9 +694,9 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     widths, _poffs, words = walk_archive(archive, spec)
     if spec.pallas_ok_decode:
-        ratio = choose_ratio(spec, widths)
+        sched = choose_schedule(spec, widths)
         out = decode_batch_pallas(spec, jnp.asarray(words),
-                                  jnp.asarray(widths), interpret, ratio)
+                                  jnp.asarray(widths), interpret, sched)
     else:
         out = decode_tiled_host(spec, words, widths, interpret)
     vals = np.asarray(jax.device_get(out))[:, : meta.number_of_values]

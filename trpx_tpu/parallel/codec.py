@@ -139,7 +139,7 @@ class ShardedCodec:
         words, nbytes, prolix, over = jax.device_get(
             _encode_sharded_jit(spec, self.mesh, x)
         )
-        if spec.cap_ratio < 1.0 and int(over):
+        if spec.soft and int(over):
             spec = spec.with_ratio(1.0)
             words, nbytes, prolix, over = jax.device_get(
                 _encode_sharded_jit(spec, self.mesh, x)
@@ -191,7 +191,7 @@ class ShardedCodec:
         )
         spec = self.spec
         out = _encode_sharded_jit(spec, self.mesh, x)
-        if spec.cap_ratio < 1.0 and int(jax.device_get(out[3])):
+        if spec.soft and int(jax.device_get(out[3])):
             spec = spec.with_ratio(1.0)
             out = _encode_sharded_jit(spec, self.mesh, x)
         words, nbytes, prolix, _ = out
@@ -271,14 +271,16 @@ class ShardedCodec:
         return narrow_values(vals, dtype)
 
 
-def _proven_ratio(spec, widths: np.ndarray) -> float:
-    """Host-side proven decode capacity bucket (1.0 when Pallas is not in
-    play — the jnp tree sizes itself from the bucketed stream)."""
+def _proven_ratio(spec, widths: np.ndarray):
+    """Host-side proven decode capacity schedule, computed from the walk
+    tables BEFORE the shard_map launch (widths are traced inside it) and
+    passed through as a static (1.0 when Pallas is not in play — the jnp
+    tree sizes itself from the bucketed stream)."""
     try:
         if jax.default_backend() == "tpu" and spec.pallas_ok_decode:
-            from ..ops.pallas_unpack import choose_ratio
+            from ..ops.pallas_unpack import choose_schedule
 
-            return choose_ratio(spec, widths)
+            return choose_schedule(spec, widths)
     except Exception:
         pass
     return 1.0

@@ -212,7 +212,7 @@ def recover_shard(path, frames_local: np.ndarray, frame_lo: int) -> None:
     padded[:, : spec.n] = frames_local
     run = _best_encoder()
     words, bits, maxw, over = jax.device_get(run(spec, padded))
-    if spec.cap_ratio < 1.0 and bool(np.any(over)):
+    if spec.soft and bool(np.any(over)):
         words, bits, maxw, over = jax.device_get(
             run(spec.with_ratio(1.0), padded)
         )
