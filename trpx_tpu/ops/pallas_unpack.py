@@ -218,6 +218,10 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         # child_blocks*mbb bits, so the lifting loop stops at the
         # smaller — saves 1-2 full-array roll passes per level.
         la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
+        # NOTE (measured, round 2): replacing this lifting with per-node
+        # pltpu.roll dynamic shifts is a LOSS on hardware (10.75 ms vs
+        # 8.3 ms per 256 frames) and mis-lowers vs interpret mode —
+        # Mosaic's dynamic roll is no cheaper than the explicit lift.
         k3 = (la3 >> 5).astype(_U32)
         Bp = rows3
         step = 1

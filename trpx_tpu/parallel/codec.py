@@ -118,6 +118,23 @@ class ShardedCodec:
     def _shard(self, arr: np.ndarray, spec: P) -> jax.Array:
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
+    def _measured(self, x) -> FrameSpec:
+        """Measured capacity schedule for this batch (ops/coding.py).
+
+        Safe under sharding: the schedule sizes internal tree buffers
+        only — emitted bytes are identical for ANY non-overflowing
+        schedule — so even process-local schedules (multi-host
+        encode_shards measures only the local shard) preserve
+        byte-identity of the assembled archive."""
+        if not self.spec.soft or self.spec.cap_sched is not None:
+            return self.spec
+        try:
+            from ..ops.coding import measured_spec
+
+            return measured_spec(self.spec, x)
+        except Exception:
+            return self.spec
+
     def pad_frames(self, frames: np.ndarray) -> tuple[np.ndarray, int]:
         """Pad (F, n) to (F', n_padded): F' a multiple of the mesh size,
         values padded with zeros (zero blocks cost 1 header bit each)."""
@@ -135,7 +152,7 @@ class ShardedCodec:
         """Encode (F, n) frames mesh-parallel into a byte-exact archive."""
         padded, F = self.pad_frames(frames)
         x = self._shard(padded, P(AXIS, None))
-        spec = self.spec
+        spec = self._measured(x)
         words, nbytes, prolix, over = jax.device_get(
             _encode_sharded_jit(spec, self.mesh, x)
         )
@@ -189,7 +206,10 @@ class ShardedCodec:
         x = jax.make_array_from_single_device_arrays(
             global_shape, sharding, arrs
         )
-        spec = self.spec
+        # SPMD maxima prepass over the global array: every process
+        # derives the SAME measured schedule (and identical bytes hold
+        # regardless — see _measured)
+        spec = self._measured(x)
         out = _encode_sharded_jit(spec, self.mesh, x)
         if spec.soft and int(jax.device_get(out[3])):
             spec = spec.with_ratio(1.0)
