@@ -57,6 +57,12 @@ def main():
     hotv = min(1 << 19, np.iinfo(dt).max)
     x = jnp.where(hot, jdt.type(hotv), x)
     jax.block_until_ready(x)
+    try:
+        from trpx_tpu.ops.coding import measured_spec
+
+        spec = measured_spec(spec, x)
+    except Exception as e:
+        print(f"measured schedule unavailable: {e}", file=sys.stderr)
 
     @jax.jit
     def null(fr):

@@ -500,6 +500,13 @@ def narrow_values(vals: np.ndarray, dtype: np.dtype) -> np.ndarray:
     already within range pass through unchanged, so the clip is a no-op
     for the common width <= dtype-bits case."""
     dtype = np.dtype(dtype)
+    if vals.dtype == dtype:
+        return vals
+    if vals.dtype == np.uint16:
+        # native u16 device output (unsigned <=16-bit targets)
+        return np.minimum(
+            vals, np.uint16(min(65535, np.iinfo(dtype).max))
+        ).astype(dtype)
     if dtype == np.int32:
         return vals
     if dtype.kind == "u":

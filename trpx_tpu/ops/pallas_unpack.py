@@ -388,6 +388,11 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     x3 = jnp.stack([p if p is not None else zero_p for p in planes],
                    axis=1)                                  # (R, B, L)
     out = x3.reshape(R * B, L).T                            # (L, R*B)
+    if out_ref.dtype == jnp.uint16:
+        # unsigned <=16-bit targets store native u16: halves the HBM
+        # write (the dominant decode output traffic) and the host skips
+        # the int32 narrowing pass
+        out = out.astype(jnp.uint16)
     if tiled:
         out_ref[0, 0] = out
     else:
@@ -538,7 +543,12 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, L, R * B), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, L, R * B), jnp.int32),
+        # unsigned <=16-bit targets emit native u16 (halved HBM write)
+        out_shape=jax.ShapeDtypeStruct(
+            (F, L, R * B),
+            jnp.uint16 if (not spec.signed and spec.max_width <= 16
+                           and cut is None) else jnp.int32,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -667,7 +677,11 @@ def decode_batch_pallas_tiled(
         out_specs=pl.BlockSpec((1, 1, L, R * B),
                                lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, T, L, R * B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (F, T, L, R * B),
+            jnp.uint16 if (not spec.signed and spec.max_width <= 16)
+            else jnp.int32,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
