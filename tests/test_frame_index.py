@@ -82,3 +82,46 @@ def test_streaming_index(tmp_path):
     np.testing.assert_array_equal(
         ops.decode(arch, np.uint16), frames
     )
+
+
+def test_sidecar_v2_width_tables(tmp_path):
+    """v2 sidecar: decode skips the walk, widths/words/values identical."""
+    from trpx_tpu.io.trpx import read_index_full, write_trpx
+
+    rng = np.random.default_rng(7)
+    frames = _frames(rng, F=9, n=700)
+    arch0 = ops.encode(frames)
+    p = tmp_path / "v2.trpx"
+    write_trpx(arch0, p, index=True)
+
+    offs, wt = read_index_full(p, 9, arch0.meta.memory_size)
+    assert offs is not None and wt is not None
+    assert wt.shape == (9, -(-700 // arch0.meta.block))
+    np.testing.assert_array_equal(offs, pycodec.frame_offsets(arch0))
+
+    arch = read_trpx(p)
+    assert getattr(arch, "width_table", None) is not None
+    spec = FrameSpec.for_dtype(700, np.uint16)
+    w2, _p2, words2 = walk_archive(arch, spec)
+    arch.width_table = None  # force the walking path
+    w1, _p1, words1 = walk_archive(arch, spec)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(words1, words2)
+    np.testing.assert_array_equal(ops.decode(arch, np.uint16), frames)
+
+
+def test_sidecar_v2_stale_rejected(tmp_path):
+    from trpx_tpu.io.trpx import read_index_full, write_trpx
+
+    rng = np.random.default_rng(8)
+    frames = _frames(rng, F=4, n=300)
+    arch = ops.encode(frames)
+    p = tmp_path / "s2.trpx"
+    write_trpx(arch, p, index=True)
+    # stale: frame count / payload size mismatches return (None, None)
+    assert read_index_full(p, 5, arch.meta.memory_size) == (None, None)
+    assert read_index_full(p, 4, arch.meta.memory_size + 1) == (None, None)
+    # truncated blob
+    blob = (p.parent / (p.name + ".idx")).read_bytes()
+    (p.parent / (p.name + ".idx")).write_bytes(blob[:-3])
+    assert read_index_full(p, 4, arch.meta.memory_size) == (None, None)

@@ -182,10 +182,11 @@ def _encode_files(args) -> int:
             if args.index:
                 from ..io.trpx import _compute_offsets, write_index
 
-                offs = getattr(archive, "frame_index", None)
-                if offs is None:  # host-codec archives carry no index
-                    offs = _compute_offsets(archive)
-                write_index(dst, offs, archive.meta.memory_size)
+                # one walk serves offsets AND the v2 width tables, so
+                # decodes of this file skip the header walk entirely
+                offs, wt = _compute_offsets(archive)
+                write_index(dst, offs, archive.meta.memory_size,
+                            widths=wt)
             t3 = time.perf_counter()
             if args.delete_inputs:
                 print(f"Deleting original TIFF file: {src}")

@@ -9,6 +9,13 @@ payload size + F×u64 absolute payload byte offsets. With it, the decode
 prepass walks all frames in parallel (native OpenMP walk) instead of
 chaining through the stream; without it everything still works — the
 ``.trpx`` bytes themselves are always exactly the reference format.
+
+``TRPXIDX2`` additionally carries the per-block WIDTH tables
+(u64 blocks-per-frame + F×nb u8 widths after the offsets): decode then
+skips the header walk entirely — the prepass becomes a parallel memcpy
+gather, removing the serial-walk bottleneck for decode-many archives
+(~19% of the compressed size for the flagship workload; opt-in via
+``write_trpx(..., index=True)`` / ``trpx encode --index``).
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ import numpy as np
 from ..format.pycodec import TrpxArchive
 
 _IDX_MAGIC = b"TRPXIDX1"
+_IDX_MAGIC2 = b"TRPXIDX2"
 
 
 def _idx_path(path) -> Path:
@@ -29,29 +37,59 @@ def _idx_path(path) -> Path:
     return p.with_name(p.name + ".idx")
 
 
-def write_index(path, offsets, payload_size: int) -> None:
-    """Write the sidecar index for the ``.trpx`` at ``path``."""
+def write_index(path, offsets, payload_size: int, widths=None) -> None:
+    """Write the sidecar index for the ``.trpx`` at ``path``.
+
+    With ``widths`` ((F, nb) per-block field widths, values <= 64) the v2
+    format is written and later decodes skip the header walk."""
     offs = np.ascontiguousarray(offsets, dtype="<u8")
-    blob = (_IDX_MAGIC + struct.pack("<QQ", offs.shape[0], payload_size)
-            + offs.tobytes())
+    if widths is None:
+        blob = (_IDX_MAGIC + struct.pack("<QQ", offs.shape[0], payload_size)
+                + offs.tobytes())
+    else:
+        wt = np.ascontiguousarray(widths, dtype=np.uint8)
+        if wt.ndim != 2 or wt.shape[0] != offs.shape[0]:
+            raise ValueError("widths must be (n_frames, blocks_per_frame)")
+        blob = (_IDX_MAGIC2
+                + struct.pack("<QQQ", offs.shape[0], payload_size,
+                              wt.shape[1])
+                + offs.tobytes() + wt.tobytes())
     _idx_path(path).write_bytes(blob)
 
 
-def read_index(path, n_frames: int, payload_size: int):
-    """Load the sidecar index if present and consistent, else None."""
+def read_index_full(path, n_frames: int, payload_size: int):
+    """Load the sidecar index if present and consistent.
+
+    Returns (offsets (F,) int64 | None, widths (F, nb) uint8 | None)."""
     p = _idx_path(path)
     try:
         data = p.read_bytes()
     except OSError:
-        return None
+        return None, None
+    if len(data) >= 32 and data[:8] == _IDX_MAGIC2:
+        count, size, nb = struct.unpack("<QQQ", data[8:32])
+        if count != n_frames or size != payload_size:
+            return None, None  # stale sidecar
+        if len(data) != 32 + 8 * count + count * nb:
+            return None, None
+        offs = np.frombuffer(data, dtype="<u8", offset=32,
+                             count=count).astype(np.int64)
+        wt = np.frombuffer(data, dtype=np.uint8,
+                           offset=32 + 8 * count).reshape(count, nb)
+        return offs, wt
     if len(data) < 24 or data[:8] != _IDX_MAGIC:
-        return None
+        return None, None
     count, size = struct.unpack("<QQ", data[8:24])
     if count != n_frames or size != payload_size:
-        return None  # stale sidecar
+        return None, None  # stale sidecar
     if len(data) != 24 + 8 * count:
-        return None
-    return np.frombuffer(data, dtype="<u8", offset=24).astype(np.int64)
+        return None, None
+    return np.frombuffer(data, dtype="<u8", offset=24).astype(np.int64), None
+
+
+def read_index(path, n_frames: int, payload_size: int):
+    """Back-compat: offsets only (v1 or v2 sidecar), else None."""
+    return read_index_full(path, n_frames, payload_size)[0]
 
 
 def read_trpx(src) -> TrpxArchive:
@@ -70,9 +108,12 @@ def read_trpx(src) -> TrpxArchive:
         data = src.read()
     arch = TrpxArchive.from_bytes(data)
     if path is not None:
-        arch.frame_index = read_index(
+        offs, wt = read_index_full(
             path, arch.meta.number_of_frames, arch.meta.memory_size
         )
+        arch.frame_index = offs
+        if wt is not None:
+            arch.width_table = wt  # (F, nb) u8: decode skips the walk
     return arch
 
 
@@ -88,9 +129,10 @@ def write_trpx(archive: TrpxArchive, dst, index: bool = False) -> None:
             f.write(blob)
         if index:
             offs = archive.frame_index
-            if offs is None:
-                offs = _compute_offsets(archive)
-            write_index(dst, offs, archive.meta.memory_size)
+            wt = getattr(archive, "width_table", None)
+            if offs is None or wt is None:
+                offs, wt = _compute_offsets(archive)
+            write_index(dst, offs, archive.meta.memory_size, widths=wt)
     else:
         if index:
             raise ValueError("sidecar index needs a path destination")
@@ -98,18 +140,28 @@ def write_trpx(archive: TrpxArchive, dst, index: bool = False) -> None:
 
 
 def _compute_offsets(archive: TrpxArchive):
+    """One walk -> (frame offsets, (F, nb) u8 width tables) for the v2
+    sidecar. The same pass serves both, so indexing costs one walk."""
     meta = archive.meta
     try:
         from .. import native
 
         if native.available():
-            _, _, fstarts = native.walk(
+            widths, _, fstarts = native.walk(
                 archive.payload, meta.number_of_frames,
-                meta.number_of_values, meta.block,
+                meta.number_of_values, meta.block, want_poffs=False,
             )
-            return fstarts[:-1]
+            return fstarts[:-1], widths.astype(np.uint8)
     except Exception:
         pass
-    from ..format.pycodec import frame_offsets
+    from ..format.pycodec import frame_offsets, walk_frame
 
-    return np.asarray(frame_offsets(archive), dtype=np.int64)
+    offs = np.asarray(frame_offsets(archive), dtype=np.int64)
+    nb = -(-meta.number_of_values // meta.block)
+    widths = np.zeros((meta.number_of_frames, nb), np.uint8)
+    pos = 0
+    for f in range(meta.number_of_frames):
+        w, _o, pos = walk_frame(archive.payload, pos,
+                                meta.number_of_values, meta.block)
+        widths[f] = w
+    return offs, widths

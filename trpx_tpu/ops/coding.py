@@ -614,7 +614,11 @@ def walk_archive(
     F, nb = meta.number_of_frames, spec.nb
     Fp = pad_frames_to if pad_frames_to is not None else F
     payload = archive.payload
-    widths = np.zeros((Fp, nb), dtype=np.int32)
+    # np.empty, not zeros: every [:F] row is fully written (walk or v2
+    # sidecar), so only the padding rows need the (45 MB/512fr) zeroing
+    widths = np.empty((Fp, nb), dtype=np.int32)
+    if Fp > F:
+        widths[F:] = 0
     poffs = None
     try:
         from .. import native
@@ -632,9 +636,19 @@ def walk_archive(
                 archive._padded_buf = buf
             except AttributeError:
                 pass
-    if have_native and getattr(archive, "frame_index", None) is not None:
+    wtab = getattr(archive, "width_table", None)
+    fidx0 = getattr(archive, "frame_index", None)
+    if (wtab is not None and fidx0 is not None
+            and wtab.shape == (F, nb)):
+        # sidecar v2 (io/trpx.py): offsets AND width tables come from
+        # the index — no header walk at all; the whole prepass is the
+        # parallel memcpy gather below
+        widths[:F] = wtab
+        starts = np.asarray(fidx0, dtype=np.int64)
+        ends = np.concatenate([starts[1:], [meta.memory_size]])
+    elif have_native and fidx0 is not None:
         # sidecar/encoder-provided offsets: frames walk in parallel
-        fidx = np.asarray(archive.frame_index, dtype=np.int64)
+        fidx = np.asarray(fidx0, dtype=np.int64)
         native.walk_indexed(buf, fidx, meta.number_of_values,
                             meta.block, want_poffs=False,
                             out_widths=widths[:F])
@@ -663,12 +677,18 @@ def walk_archive(
     while cap_words * 4 < max_bytes + 8:
         cap_words *= 2
     cap_words = min(cap_words, spec.n_words)
-    words = np.zeros((Fp, cap_words), dtype=np.uint32)
-    byte_view = words.view(np.uint8).reshape(Fp, -1)
     if have_native:
-        # parallel C memcpy of the ragged chunks into the padded rows
+        # np.empty: the C gather memcpys each chunk AND memsets the row
+        # tail (parallel), so a Python-side zeros() would write the 67
+        # MB/512fr buffer twice; only padding rows need explicit zeroing
+        words = np.empty((Fp, cap_words), dtype=np.uint32)
+        if Fp > F:
+            words[F:] = 0
+        byte_view = words.view(np.uint8).reshape(Fp, -1)
         native.gather_frames(buf, starts, ends, byte_view)
     else:
+        words = np.zeros((Fp, cap_words), dtype=np.uint32)
+        byte_view = words.view(np.uint8).reshape(Fp, -1)
         raw = np.frombuffer(payload, dtype=np.uint8)
         for f in range(F):
             chunk = raw[starts[f] : ends[f]]
