@@ -241,7 +241,25 @@ class StreamingEncoder:
             from ..io.trpx import write_index
 
             offs = np.fromfile(self.part_idx, dtype="<u8")
-            write_index(self.path, offs, self.m.payload_bytes)
+            widths = None
+            try:
+                # one indexed (parallel) walk upgrades the sidecar to v2
+                # (width tables): every later decode skips the walk
+                from .. import native
+
+                if native.available():
+                    buf = native.padded_buffer(
+                        self.path.read_bytes()[len(header):]
+                    )
+                    widths, _ = native.walk_indexed(
+                        buf, offs.astype(np.int64), self.m.nvalues,
+                        self.m.block, want_poffs=False,
+                    )
+                    widths = widths.astype(np.uint8)
+            except Exception:
+                widths = None
+            write_index(self.path, offs, self.m.payload_bytes,
+                        widths=widths)
         self.part.unlink(missing_ok=True)
         self.part_idx.unlink(missing_ok=True)
         self.manifest_path.unlink(missing_ok=True)
