@@ -119,14 +119,26 @@ def test_measured_encode_bit_identical():
     the schedule clamps to full capacities."""
     rng = np.random.default_rng(5)
     n = 512 * 24
-    fr = rng.poisson(3.0, size=(8, n)).astype(np.uint16)
-    fr[rng.random((8, n)) < 0.002] = 60000
-    arch = ops.encode(fr, cap_ratio="measured")
-    assert arch.to_bytes() == pycodec.encode(list(fr)).to_bytes()
+    # F must exceed the F<=8 small-batch carve-out in encode() or the
+    # measured prepass never runs (verified: F=8 silently rewrites to
+    # the optimistic bucket)
+    from trpx_tpu.ops import coding as C
 
-    bad = np.full((2, n), 65535, np.uint16)
-    arch2 = ops.encode(bad, cap_ratio="measured")
-    assert arch2.to_bytes() == pycodec.encode(list(bad)).to_bytes()
+    calls = []
+    orig = C.measured_spec
+    C.measured_spec = lambda s, p: calls.append(1) or orig(s, p)
+    try:
+        fr = rng.poisson(3.0, size=(9, n)).astype(np.uint16)
+        fr[rng.random((9, n)) < 0.002] = 60000
+        arch = ops.encode(fr, cap_ratio="measured")
+        assert calls, "measured prepass did not run (F<=8 carve-out?)"
+        assert arch.to_bytes() == pycodec.encode(list(fr)).to_bytes()
+
+        bad = np.full((9, n), 65535, np.uint16)
+        arch2 = ops.encode(bad, cap_ratio="measured")
+        assert arch2.to_bytes() == pycodec.encode(list(bad)).to_bytes()
+    finally:
+        C.measured_spec = orig
 
 
 def test_choose_schedule_decode_exact_interpret():

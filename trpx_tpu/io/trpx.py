@@ -141,26 +141,38 @@ def write_trpx(archive: TrpxArchive, dst, index: bool = False) -> None:
 
 def _compute_offsets(archive: TrpxArchive):
     """One walk -> (frame offsets, (F, nb) u8 width tables) for the v2
-    sidecar. The same pass serves both, so indexing costs one walk."""
+    sidecar. Known frame offsets (encoder archives always carry them,
+    ops/coding.assemble_archive) make the width walk parallel; otherwise
+    a single serial pass yields both."""
     meta = archive.meta
+    known = getattr(archive, "frame_index", None)
     try:
         from .. import native
 
         if native.available():
-            widths, _, fstarts = native.walk(
-                archive.payload, meta.number_of_frames,
-                meta.number_of_values, meta.block, want_poffs=False,
-            )
-            return fstarts[:-1], widths.astype(np.uint8)
+            if known is not None:
+                offs = np.asarray(known, dtype=np.int64)
+                widths, _ = native.walk_indexed(
+                    archive.payload, offs, meta.number_of_values,
+                    meta.block, want_poffs=False,
+                )
+            else:
+                widths, _, fstarts = native.walk(
+                    archive.payload, meta.number_of_frames,
+                    meta.number_of_values, meta.block, want_poffs=False,
+                )
+                offs = fstarts[:-1]
+            return offs, widths.astype(np.uint8)
     except Exception:
         pass
-    from ..format.pycodec import frame_offsets, walk_frame
+    from ..format.pycodec import walk_frame
 
-    offs = np.asarray(frame_offsets(archive), dtype=np.int64)
     nb = -(-meta.number_of_values // meta.block)
+    offs = np.zeros(meta.number_of_frames, np.int64)
     widths = np.zeros((meta.number_of_frames, nb), np.uint8)
     pos = 0
     for f in range(meta.number_of_frames):
+        offs[f] = pos
         w, _o, pos = walk_frame(archive.payload, pos,
                                 meta.number_of_values, meta.block)
         widths[f] = w

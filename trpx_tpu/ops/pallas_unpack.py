@@ -214,7 +214,7 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         A = (rows3 & amask)[:, :Sc, :]
         # B: shift down by la to bit 0, keep the first Cc words.
         # la is bounded by BOTH the child's proven capacity (la <=
-        # Cc*32-31, _prove_ratio) and its combinatorial maximum
+        # Cc*32-31, measured_schedule's +31 margin) and its combinatorial
         # child_blocks*mbb bits, so the lifting loop stops at the
         # smaller — saves 1-2 full-array roll passes per level.
         la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
@@ -399,10 +399,6 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         out_ref[0] = out
 
 
-#: capacity buckets the host chooses among (recompiles bounded to 3)
-_RATIO_BUCKETS = (0.25, 0.5)
-
-
 def block_bits_host(spec: FrameSpec, widths: np.ndarray) -> np.ndarray:
     """Exact per-block bit lengths (host numpy int64) from the walk's
     (F, nb) width tables — header length from the frame-level repeat
@@ -416,48 +412,6 @@ def block_bits_host(spec: FrameSpec, widths: np.ndarray) -> np.ndarray:
         B, np.maximum(0, spec.n - np.arange(nb, dtype=np.int64) * B)
     )[None, :]
     return hb + w * counts                                   # (F, nb)
-
-
-def _prove_ratio(bits: np.ndarray, spec: FrameSpec) -> float:
-    """Smallest capacity bucket PROVEN to fit every split-tree node.
-
-    bits: (N, P) exact per-block bit lengths for N independent trees of
-    P = spec.tree_rows blocks each (frames, or tiles of big frames).
-    Node pairing matches the kernel: contiguous aligned block groups."""
-    mbb = spec.max_block_bits
-    cap0 = _round_up(row_capacity(mbb), 8)
-    P = spec.tree_rows
-    L = min(128, P)
-    R = P // L
-    N = bits.shape[0]
-    for ratio in _RATIO_BUCKETS:
-        node = bits
-        cb = 1
-        ok = True
-        while cb < P:
-            cb *= 2
-            node = node.reshape(N, P // cb, 2).sum(axis=2)
-            align = 128 if cb >= R else 8
-            capw = _round_up(_node_cap_words(cb, mbb, cap0, ratio), align)
-            if node.max(initial=0) > capw * 32 - 31:
-                ok = False
-                break
-        if ok:
-            return ratio
-    return 1.0
-
-
-def choose_ratio(spec: FrameSpec, widths: np.ndarray) -> float:
-    """Proven capacity bucket for whole-frame VMEM decode (1.0 = worst
-    case when no smaller bucket is provable)."""
-    P = spec.tree_rows
-    bits = block_bits_host(spec, widths)
-    F, nb = bits.shape
-    if nb < P:
-        bits = np.concatenate(
-            [bits, np.zeros((F, P - nb), np.int64)], axis=1
-        )
-    return _prove_ratio(bits, spec)
 
 
 def _level_maxima(bits: np.ndarray, P: int) -> list[int]:

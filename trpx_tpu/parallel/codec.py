@@ -125,8 +125,10 @@ class ShardedCodec:
         only — emitted bytes are identical for ANY non-overflowing
         schedule — so even process-local schedules (multi-host
         encode_shards measures only the local shard) preserve
-        byte-identity of the assembled archive."""
-        if not self.spec.soft or self.spec.cap_sched is not None:
+        byte-identity of the assembled archive. Applied regardless of
+        the spec's cap_ratio (matching ops.encode's 'measured' default);
+        a caller-provided cap_sched is respected as-is."""
+        if self.spec.cap_sched is not None:
             return self.spec
         try:
             from ..ops.coding import measured_spec

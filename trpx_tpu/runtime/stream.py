@@ -212,9 +212,10 @@ class StreamingEncoder:
 
     def finalize(self, verify: bool = False, index: bool = False) -> Path:
         """Assemble header + payload into ``path``; optionally verify by
-        re-walking every frame header; ``index=True`` writes the
-        ``.trpx.idx`` sidecar (offsets were accumulated per chunk, so
-        this costs nothing); then drop the temporaries."""
+        re-walking every frame header; ``index=True`` writes the v2
+        ``.trpx.idx`` sidecar (offsets were accumulated per chunk; the
+        width tables cost one parallel indexed walk over a single
+        transient payload copy); then drop the temporaries."""
         self.flush()  # drain the double-buffered in-flight chunk
         header = emit_header(self.meta())
         tmp = self.path.with_name(self.path.name + ".tmp")
@@ -244,13 +245,20 @@ class StreamingEncoder:
             widths = None
             try:
                 # one indexed (parallel) walk upgrades the sidecar to v2
-                # (width tables): every later decode skips the walk
+                # (width tables): every later decode skips the walk.
+                # The padded buffer is filled straight from the file —
+                # ONE transient payload copy, not read_bytes + slice +
+                # pad (3x peak would defeat bounded-memory streaming)
                 from .. import native
 
                 if native.available():
-                    buf = native.padded_buffer(
-                        self.path.read_bytes()[len(header):]
-                    )
+                    plen = self.m.payload_bytes
+                    buf = np.empty(plen + native.SLACK, np.uint8)
+                    with open(self.path, "rb") as f:
+                        f.seek(len(header))
+                        if f.readinto(memoryview(buf)[:plen]) != plen:
+                            raise OSError("short read")
+                    buf[plen:] = 0
                     widths, _ = native.walk_indexed(
                         buf, offs.astype(np.int64), self.m.nvalues,
                         self.m.block, want_poffs=False,
@@ -322,6 +330,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
     payload_len = buf.shape[0] - native.SLACK
     pos = 0
     pending = None  # (device result, real frame count)
+    sched = None    # running measured schedule across chunks
 
     def _drain(p):
         vals = np.asarray(jax.device_get(p[0]))[: p[1], :n]
@@ -347,7 +356,18 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
             bv[i, : e - s] = buf[s:e]
         widths_p = np.zeros((C, spec.nb), np.int32)
         widths_p[:nf] = widths_c
-        fut = run(spec, words, widths_p, None)
+        if spec.pallas_ok_decode:
+            # measured schedule, JOINED across chunks (elementwise max):
+            # a per-chunk schedule would be a fresh static jit key —
+            # minutes of recompile per chunk on drifting data — while
+            # the join only ever grows toward worst case, bounding
+            # recompiles to a handful per stream
+            from ..ops.pallas_unpack import choose_schedule
+
+            s_c = choose_schedule(spec, widths_p)
+            sched = (s_c if sched is None
+                     else tuple(max(a, b) for a, b in zip(sched, s_c)))
+        fut = run(spec, words, widths_p, sched)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)
