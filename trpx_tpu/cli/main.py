@@ -91,8 +91,10 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chunk-frames", type=int, default=256,
                    help="frames per device batch in --stream mode")
     p.add_argument("--index", action="store_true",
-                   help="also write a .trpx.idx frame-offset sidecar "
-                        "(enables the parallel header walk on decode)")
+                   help="also write a .trpx.idx v2 sidecar (frame offsets"
+                        " + width tables: later decodes skip the serial "
+                        "header walk entirely; on decode, caches a "
+                        "foreign archive's first walk)")
 
 
 def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
@@ -234,6 +236,13 @@ def _decode_files(args) -> int:
             pixels = api.decompress(archive, device=device)
             pixels = pixels.reshape(meta.number_of_frames, h, w)
             t2 = time.perf_counter()
+            if args.index and getattr(archive, "width_table", None) is None:
+                # cache the walk of a foreign archive: later decodes of
+                # this file skip the serial header walk (v2 sidecar)
+                from ..io.trpx import _compute_offsets, write_index
+
+                offs, wt = _compute_offsets(archive)
+                write_index(src, offs, meta.memory_size, widths=wt)
             _atomic_write(_out_path(src, ".tif", args.out_dir),
                           lambda f: write_tiff(pixels, f))
             t3 = time.perf_counter()
