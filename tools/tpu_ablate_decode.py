@@ -73,7 +73,7 @@ def main():
     )
     print(f"RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
 
-    cuts = [-1, 2, 4, p2, 90, p2 + 2, p2 + 4, p2 + p1, 99, None]
+    cuts = [-2, -1, 2, 4, p2, 90, p2 + 2, p2 + 4, p2 + p1, 99, None]
     rows = []
     prev = 0.0
     for cut in cuts:
@@ -91,7 +91,8 @@ def main():
             ts.append(time.perf_counter() - t0)
         t = max(statistics.median(ts) - rtt, 1e-9)
         ms = t * 1e3
-        label = ("lengths" if cut == -1 else
+        label = ("input-only" if cut == -2 else
+                 "lengths" if cut == -1 else
                  "transition" if cut == 90 else
                  "pre-extract" if cut == 99 else
                  "FULL" if cut is None else f"splits<={cut}")

@@ -502,6 +502,7 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # default 16M caps ~700k
             #                                      values/frame (u32)
+            dimension_semantics=("parallel",),   # frames independent
         ),
         interpret=interpret,
     )(x)

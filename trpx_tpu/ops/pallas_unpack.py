@@ -181,6 +181,10 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         nxt0 = _roll3_down(rows3, 1)
         rows3 = (rows3 >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
     C = w_pad
+    if cut is not None and cut == -2:  # input DMA only (tables DCE'd)
+        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32))
+                  + jnp.sum(width))
+        return
     if cut is not None and cut < 0:  # lengths/plan only
         _emit_cut(jnp.sum(block_bits) + jnp.sum(lp)
                   + jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)))
@@ -505,6 +509,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            # frames are independent: lets Megacore split the F axis on
+            # v4/v5p (one core per chip on v5e, where this is a no-op)
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(words[:, None, :], wplanes)
