@@ -13,6 +13,7 @@ from .coding import (
     decode_batch_device,
     encode,
     encode_batch_device,
+    measured_spec,
     plan_frame,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "decode_batch_device",
     "encode",
     "encode_batch_device",
+    "measured_spec",
     "plan_frame",
     "pallas_pack",
     "pallas_unpack",
