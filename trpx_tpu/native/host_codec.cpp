@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -218,39 +219,88 @@ int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
 //   out      caller buffer, worst case nframes * (8*nvalues + ceil(nb*12/8) + 1)
 //   fstarts  [nframes + 1] int64 — byte offset of each frame in `out`
 // Returns total bytes written (>= 0), or -1 on unencodable width.
+namespace {
+
+// Magnitude OR of one block -> field width (Terse.hpp:510-511,553).
+inline int frame_block_width(const int64_t* frame, int64_t lo, int64_t hi,
+                             int is_signed) {
+    uint64_t setbits = 0;
+    if (is_signed) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t v = frame[i];
+            setbits |= (v < 0 ? -(uint64_t)v : (uint64_t)v);
+        }
+    } else {
+        // unsigned streams OR raw patterns; values arrive as int64 bit
+        // patterns of the uint64 data
+        for (int64_t i = lo; i < hi; ++i)
+            setbits |= (uint64_t)frame[i];
+    }
+    int width = highest_set_bit(setbits);
+    if (is_signed && width) width += 1;  // sign bit
+    return width;
+}
+
+}  // namespace
+
+// Two-pass PARALLEL encoder: frame streams are byte-aligned (the
+// 1 + bits/8 terminal-byte rule, Terse.hpp:547), so once a cheap
+// parallel size pass fixes every frame's byte range, each frame encodes
+// independently (OpenMP) into a private scratch and memcpys its exact
+// bytes — the 16-byte writer windows would otherwise race on the shared
+// buffer at frame boundaries.
 int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
                            int64_t nvalues, int64_t block, int is_signed,
                            uint8_t* out, int64_t out_cap,
                            int64_t* fstarts, int32_t* prolix_bits_out) {
     int64_t nblocks = (nvalues + block - 1) / block;
-    BitWriter w{out, 0};
     std::memset(out, 0, (size_t)out_cap);
+    std::vector<int64_t> fbits((size_t)nframes);
     int prolix = 0;
-    int64_t start_byte = 0;
+    int bad = 0;
+    // pass 1: per-frame bit sizes + prolix (no writes)
+#pragma omp parallel for schedule(static) \
+    reduction(max:prolix) reduction(|:bad)
     for (int64_t f = 0; f < nframes; ++f) {
-        fstarts[f] = start_byte;
-        w.pos = (uint64_t)start_byte * 8;
         const int64_t* frame = values + f * nvalues;
         int prev = 0;  // reset per frame (Terse.hpp:505)
+        int64_t bits = 0;
         for (int64_t b = 0; b < nblocks; ++b) {
             int64_t lo = b * block;
             int64_t hi = std::min(nvalues, lo + block);
-            uint64_t setbits = 0;
-            if (is_signed) {
-                for (int64_t i = lo; i < hi; ++i) {
-                    int64_t v = frame[i];
-                    setbits |= (v < 0 ? -(uint64_t)v : (uint64_t)v);
-                }
-            } else {
-                // unsigned streams OR raw patterns (Terse.hpp:510-511);
-                // values arrive as int64 bit patterns of the uint64 data
-                for (int64_t i = lo; i < hi; ++i)
-                    setbits |= (uint64_t)frame[i];
-            }
-            int width = highest_set_bit(setbits);
-            if (is_signed && width) width += 1;  // sign bit (Terse.hpp:553)
-            if (width > 73) return -1;
+            int width = frame_block_width(frame, lo, hi, is_signed);
+            if (width > 73) { bad = 1; break; }
             prolix = std::max(prolix, width);
+            if (width == prev) {
+                bits += 1;
+            } else {
+                bits += (width < 7) ? 4 : (width < 10) ? 6 : 12;
+                prev = width;
+            }
+            bits += (int64_t)width * (hi - lo);
+        }
+        fbits[(size_t)f] = bits;
+    }
+    if (bad) return -1;
+    int64_t start_byte = 0;
+    for (int64_t f = 0; f < nframes; ++f) {
+        fstarts[f] = start_byte;
+        start_byte += 1 + (fbits[(size_t)f] >> 3);  // Terse.hpp:547
+    }
+    fstarts[nframes] = start_byte;
+    if (start_byte > out_cap - 16) return -1;
+    // pass 2: encode every frame independently at its known offset
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < nframes; ++f) {
+        int64_t len = fstarts[f + 1] - fstarts[f];
+        std::vector<uint8_t> scratch((size_t)len + 32, 0);
+        BitWriter w{scratch.data(), 0};
+        const int64_t* frame = values + f * nvalues;
+        int prev = 0;
+        for (int64_t b = 0; b < nblocks; ++b) {
+            int64_t lo = b * block;
+            int64_t hi = std::min(nvalues, lo + block);
+            int width = frame_block_width(frame, lo, hi, is_signed);
             // block header (Terse.hpp:517-535)
             if (width == prev) {
                 w.put(1, 1);
@@ -267,10 +317,8 @@ int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
                 }
             }
         }
-        start_byte += 1 + (int64_t)((w.pos - (uint64_t)start_byte * 8) >> 3);
-        if (start_byte > out_cap - 16) return -1;  // keep writer window safe
+        std::memcpy(out + fstarts[f], scratch.data(), (size_t)len);
     }
-    fstarts[nframes] = start_byte;
     *prolix_bits_out = prolix;
     return start_byte;
 }
@@ -288,8 +336,11 @@ int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
                        int64_t clamp_min, int64_t clamp_max,
                        int64_t* out) {
     int64_t nblocks = (nvalues + block - 1) / block;
-    BitReader r{payload, (uint64_t)payload_len, 0};
+    // frames decode independently: poffs are absolute, each thread
+    // carries its own reader
+#pragma omp parallel for schedule(static)
     for (int64_t f = 0; f < nframes; ++f) {
+        BitReader r{payload, (uint64_t)payload_len, 0};
         int64_t* dst = out + f * nvalues;
         for (int64_t b = 0; b < nblocks; ++b) {
             int64_t idx = f * nblocks + b;
