@@ -111,17 +111,37 @@ class Terse:
 
     def prolix(self, frame: int = 0, dtype=None) -> np.ndarray:
         """Decode one frame (every index is correct — reference bugs
-        B1/B2 fixed). Returns (h, w) when dims are known, else (n,)."""
+        B1/B2 fixed). Returns (h, w) when dims are known, else (n,).
+
+        Random access is O(frame size), not O(archive): frames are
+        independent (the repeat-width chain resets per frame,
+        Terse.hpp:505) and byte-aligned, so the frame's payload slice
+        decodes as a 1-frame archive; offsets come from the archive's
+        index (computed once and cached on first access)."""
         from . import api
 
         arch = self._encoded()
         F = arch.meta.number_of_frames
         if not (0 <= frame < F):
             raise IndexError(f"frame {frame} out of range [0, {F})")
-        out = api.decompress(arch, dtype=dtype)
         if F > 1:
-            out = out[frame]
-        return out
+            offs = getattr(arch, "frame_index", None)
+            if offs is None:
+                from .io.trpx import _compute_offsets
+
+                offs, wt = _compute_offsets(arch)
+                arch.frame_index = offs
+                arch.width_table = wt
+            lo = int(offs[frame])
+            hi = (int(offs[frame + 1]) if frame + 1 < F
+                  else arch.meta.memory_size)
+            from dataclasses import replace
+
+            meta1 = replace(arch.meta, number_of_frames=1,
+                            memory_size=hi - lo)
+            sub = type(arch)(meta=meta1, payload=arch.payload[lo:hi])
+            return api.decompress(sub, dtype=dtype)
+        return api.decompress(arch, dtype=dtype)
 
     # ------------------------------------------------- metadata accessors ---
     # (Terse.hpp:396-444)
