@@ -251,13 +251,14 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     max_bits = spec.max_block_bits
     level = 0
 
-    def roll_up(x, step, axis):
-        """Shift words toward higher indices by a STATIC step along
-        ``axis`` (Mosaic-friendly: roll + iota mask, no unaligned
-        concats/slices)."""
-        rolled = jnp.roll(x, step, axis=axis)
-        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
-        return jnp.where(idx >= step, rolled, _U32(0))
+    def roll_up_nz(x, step, axis):
+        """roll toward higher indices WITHOUT the wrap mask: B2 is
+        zero-padded to 2C and, per lane, the prefix-of-la_w shifted so
+        far plus the current (set-bit) step never exceeds la_w <= C, so
+        every wrapped-in element is provably zero; the funnel's +1 roll
+        can wrap one data word only when la_w == C, where s == 0 makes
+        its carry term (x >> 31) >> 1 vanish elementwise."""
+        return jnp.roll(x, step, axis=axis)
 
     # ---- phase 1: merge along the outer node axis -----------------------
     # C stays 8-aligned so sublane-axis concats sit on tile boundaries.
@@ -280,11 +281,11 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
         j = 0
         while step <= la_bound // 32 + 1 and step < C2:
             bit = ((k >> j) & 1).astype(bool)[:, None, :]
-            B2 = jnp.where(bit, roll_up(B2, step, 1), B2)
+            B2 = jnp.where(bit, roll_up_nz(B2, step, 1), B2)
             step *= 2
             j += 1
         s = (la & 31).astype(_U32)[:, None, :]
-        prevw = roll_up(B2, 1, 1)
+        prevw = roll_up_nz(B2, 1, 1)
         B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
         state = A2 | B2                                     # (M, C2, L)
         lengths = la + lb
@@ -339,11 +340,11 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
         j = 0
         while step <= C and step < 2 * C:
             bit = ((k3 >> j) & 1) != 0
-            B2 = jnp.where(bit, _roll3_up(B2, step), B2)
+            B2 = jnp.where(bit, _roll3_up_nz(B2, step), B2)
             step *= 2
             j += 1
         s = _bcast3((la & 31).astype(_U32), M, 2 * S)
-        prevw = _roll3_up(B2, 1)
+        prevw = _roll3_up_nz(B2, 1)
         B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
         state3 = A2 | B2                                    # (M, 2S, 128)
         lp = la_p + lb_p
@@ -432,6 +433,37 @@ def _roll3_up(x, step: int):
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     bm = jnp.where(sub >= 1, b, _U32(0))
     return jnp.where(lane >= step, a, bm)
+
+
+def _roll3_up_nz(x, step: int):
+    """_roll3_up WITHOUT the wrap masks — valid only when every wrapped
+    element is provably zero (the merge lifts: B2 zero-padded to 2C and
+    shifted by at most la_w <= C words total; see roll_up_nz)."""
+    M, S, L = x.shape
+    if step >= S * L:
+        return jnp.zeros_like(x)
+    if step % L == 0:
+        return jnp.roll(x, step // L, axis=1)
+    a = jnp.roll(x, step, axis=2)
+    b = jnp.roll(a, 1, axis=1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    return jnp.where(lane >= step, a, b)
+
+
+def _roll3_down_nz(x, step: int):
+    """_roll3_down WITHOUT the wrap masks — valid when the caller proves
+    the wrapped-in zone [size - total_shift, size) is never consumed
+    (decode drops masks only on levels where C >= Cc + la_w_max + 2, so
+    the child truncation [:Sc] excludes the zone)."""
+    M, S, L = x.shape
+    if step >= S * L:
+        return jnp.zeros_like(x)
+    if step % L == 0:
+        return jnp.roll(x, -(step // L), axis=1)
+    a = jnp.roll(x, -step, axis=2)
+    b = jnp.roll(a, -1, axis=1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    return jnp.where(lane < L - step, a, b)
 
 
 def _roll3_down(x, step: int):

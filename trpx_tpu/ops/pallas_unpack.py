@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coding import FrameSpec
 from .pack import row_capacity
-from .pallas_pack import _bcast3, _roll3_down
+from .pallas_pack import _bcast3, _roll3_down, _roll3_down_nz
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -162,6 +162,13 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
         return jnp.where(idx < x.shape[axis] - step, rolled, _U32(0))
 
+    def roll_down_nz(x, step, axis):
+        # wrap-mask-free variant: only on levels where the wrap zone is
+        # excluded by the child truncation (see the phase-2 note)
+        if step >= x.shape[axis]:
+            return jnp.zeros_like(x)
+        return jnp.roll(x, -step, axis=axis)
+
     mbb = spec.max_block_bits
 
     # ---- phase 2 inverse: top-down row-pair splits ----------------------
@@ -226,15 +233,19 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         # pltpu.roll dynamic shifts is a LOSS on hardware (10.75 ms vs
         # 8.3 ms per 256 frames) and mis-lowers vs interpret mode —
         # Mosaic's dynamic roll is no cheaper than the explicit lift.
+        # Wrap masks drop when the accumulated wrap zone [C-la_w, C)
+        # provably lands beyond the child truncation [:Sc].
+        roll3 = (_roll3_down_nz if C >= Cc + la_w_max + 2
+                 else _roll3_down)
         k3 = (la3 >> 5).astype(_U32)
         Bp = rows3
         step = 1
         while step <= la_w_max:
             bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
-            Bp = jnp.where(bit, _roll3_down(Bp, step), Bp)
+            Bp = jnp.where(bit, roll3(Bp, step), Bp)
             step *= 2
         s = (la3 & 31).astype(_U32)
-        nxtw = _roll3_down(Bp, 1)
+        nxtw = roll3(Bp, 1)
         Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Sc, :]
         rows3 = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
@@ -279,15 +290,16 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         # bounded by the child's proven capacity / combinatorial max,
         # as in phase 2 above)
         la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
+        rd = (roll_down_nz if C >= Cc + la_w_max + 2 else roll_down)
         k = (la3[:, :1, :] >> 5).astype(_U32)
         Bp = state
         step = 1
         while step <= la_w_max:
             bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
-            Bp = jnp.where(bit, roll_down(Bp, step, 1), Bp)
+            Bp = jnp.where(bit, rd(Bp, step, 1), Bp)
             step *= 2
         s = (la3 & 31).astype(_U32)
-        nxtw = roll_down(Bp, 1, 1)
+        nxtw = rd(Bp, 1, 1)
         Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Cc, :]
         state = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
