@@ -11,6 +11,11 @@ import os
 # not enough: an installed TPU PJRT plugin can still win the default-backend
 # race, so pin it through jax.config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# In-process CLI tests call cli.main._setup_jax, which would otherwise
+# enable the persistent compile cache for the REST of the suite (global,
+# order-dependent state — and jaxlib 0.9's CPU executable.serialize() has
+# segfaulted writing large cache entries mid-suite). Tests never need it.
+os.environ.setdefault("TRPX_JAX_CACHE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

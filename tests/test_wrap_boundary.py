@@ -10,6 +10,7 @@ merge level, asymmetric dense/empty halves, and the corresponding
 decode splits both at worst-case ratio 1.0 and with measured schedules.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -17,6 +18,17 @@ from trpx_tpu.format import pycodec
 from trpx_tpu.ops import pallas_pack, pallas_unpack
 
 BLOCK = 12
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """These dense worst-case (cap_ratio=1.0) interpret-mode programs are
+    the largest XLA:CPU compiles in the suite; compiling them on top of
+    ~300 tests' accumulated executables has segfaulted inside XLA
+    (jaxlib 0.9, both in backend_compile and executable.serialize).
+    Clearing JAX's caches first keeps the compiler within the envelope
+    it handles reliably. Cheap here: this module is last in the suite."""
+    jax.clear_caches()
 
 
 def _alternating_dense(n: int, dtype, w_hi: int, w_lo: int) -> np.ndarray:

@@ -127,4 +127,22 @@ def parse_header(data: bytes, tag: str = "Terse", start: int = 0) -> tuple[TrpxM
         # write() always emits it (Terse.hpp:469); default 1 for robustness
         number_of_frames=geti("number_of_frames", 1),
     )
+    # Validate ranges before any consumer divides/allocates by them.
+    # The reference asserts none of this (hostile headers reach the
+    # decoder raw); a production decoder must refuse them cleanly.
+    if meta.block <= 0:
+        raise ValueError(f"invalid block={meta.block} (must be positive)")
+    if meta.number_of_values <= 0:
+        raise ValueError(
+            f"invalid number_of_values={meta.number_of_values}")
+    if meta.number_of_frames <= 0:
+        raise ValueError(
+            f"invalid number_of_frames={meta.number_of_frames}")
+    if meta.memory_size < 0:
+        raise ValueError(f"invalid memory_size={meta.memory_size}")
+    if not 0 <= meta.prolix_bits <= 64:
+        raise ValueError(
+            f"invalid prolix_bits={meta.prolix_bits} (0..64)")
+    if any(d <= 0 for d in meta.dimensions):
+        raise ValueError(f"invalid dimensions={meta.dimensions}")
     return meta, end

@@ -76,6 +76,11 @@ def read_index_full(path, n_frames: int, payload_size: int):
                              count=count).astype(np.int64)
         wt = np.frombuffer(data, dtype=np.uint8,
                            offset=32 + 8 * count).reshape(count, nb)
+        if wt.size and int(wt.max()) > 73:
+            # widths beyond the format's 12-bit header maximum
+            # (Terse.hpp:530-533: 10 + 63) — corrupt table; treat as
+            # stale so decode falls back to (and validates via) the walk
+            return None, None
         return offs, wt
     if len(data) < 24 or data[:8] != _IDX_MAGIC:
         return None, None

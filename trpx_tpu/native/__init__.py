@@ -143,15 +143,30 @@ def gather_frames(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     )
 
 
+def _check_width(rc: int, max_width: int | None) -> None:
+    """Walkers return the max block width seen (>=0) or -1; reject
+    streams whose widths exceed the header's claim (the encoder sets
+    prolix_bits to the max width, Terse.hpp:516 — anything wider is
+    corruption a later kernel would silently garbage-decode)."""
+    if rc < 0:
+        raise ValueError("malformed TRPX payload: header walk ran past end")
+    if max_width is not None and rc > max_width:
+        raise ValueError(
+            f"corrupt TRPX payload: block width {rc} exceeds the "
+            f"header's prolix_bits={max_width}")
+
+
 def walk(payload, nframes: int, nvalues: int, block: int,
-         want_poffs: bool = True, out_widths: np.ndarray | None = None):
+         want_poffs: bool = True, out_widths: np.ndarray | None = None,
+         max_width: int | None = None):
     """Header walk for a whole archive (C speed).
 
     Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit offsets
     — or None when ``want_poffs=False``, which skips ~2/3 of the output
     traffic; the tree decoders derive offsets from widths — and
     fstarts (F+1,) int64 byte offsets). Raises ValueError on a malformed
-    stream. ``payload`` may be a pre-padded uint8 array (padded_buffer);
+    stream, or on any block wider than ``max_width`` when given.
+    ``payload`` may be a pre-padded uint8 array (padded_buffer);
     ``out_widths`` lets the walk write straight into a caller table.
     """
     lib = _load()
@@ -171,8 +186,7 @@ def walk(payload, nframes: int, nvalues: int, block: int,
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
         _ptr(fstarts, ctypes.c_int64),
     )
-    if rc != 0:
-        raise ValueError("malformed TRPX payload: header walk ran past end")
+    _check_width(rc, max_width)
     return widths, poffs, fstarts
 
 
@@ -183,7 +197,8 @@ def padded_buffer(payload: bytes) -> np.ndarray:
 
 
 def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
-               block: int, want_poffs: bool = False):
+               block: int, want_poffs: bool = False,
+               max_width: int | None = None):
     """Header walk of ``nframes`` frames starting at byte ``start`` of a
     ``padded_buffer`` array.
 
@@ -211,14 +226,14 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
         _ptr(fstarts, ctypes.c_int64),
     )
-    if rc != 0:
-        raise ValueError("malformed TRPX payload: header walk ran past end")
+    _check_width(rc, max_width)
     return widths, poffs, fstarts
 
 
 def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
                  block: int, want_poffs: bool = True,
-                 out_widths: np.ndarray | None = None):
+                 out_widths: np.ndarray | None = None,
+                 max_width: int | None = None):
     """Parallel header walk given known per-frame byte offsets (OpenMP).
 
     Returns (widths (F, nb) int32, poffs (F, nb) int64 absolute bit
@@ -243,8 +258,7 @@ def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
     )
-    if rc != 0:
-        raise ValueError("malformed TRPX payload: indexed walk ran past end")
+    _check_width(rc, max_width)
     return widths, poffs
 
 

@@ -104,7 +104,7 @@ static inline int parse_header(uint64_t bits, int& width) {
 // in long, well-predicted runs, so the branchy early-out wins.)
 // Returns false if the walk ran past the payload.
 inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
-                        uint64_t& pos, int& width,
+                        uint64_t& pos, int& width, int& wmax,
                         int64_t nblocks, int64_t nvalues, int64_t block,
                         int32_t* widths, int64_t* poffs) {
     const int64_t last = nblocks - 1;
@@ -125,6 +125,7 @@ inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
         // 52 bits — ~2 per load at width 3, ~50 across zero-width runs
         while (off <= 52) {
             int hb = parse_header(w64 >> off, width);
+            if (width > wmax) wmax = width;
             widths[b] = width;
             if (poffs) poffs[b] = (int64_t)(base * 8 + off + (uint64_t)hb);
             off += (uint64_t)hb
@@ -146,17 +147,21 @@ extern "C" {
 //   poffs    [nframes * nblocks] int64  — ABSOLUTE payload bit offset
 //   fstarts  [nframes + 1]       int64  — byte offset of each frame
 //                                          (+ end of last frame)
-// Returns 0 on success, -1 if the walk ran past the payload.
+// Returns the maximum block width seen (>= 0) — callers compare it
+// against the header's prolix_bits to reject corrupt streams (the
+// encoder guarantees prolix_bits == max width, Terse.hpp:516) — or -1
+// if the walk ran past the payload.
 int trpx_walk(const uint8_t* payload, int64_t payload_len,
               int64_t nframes, int64_t nvalues, int64_t block,
               int32_t* widths, int64_t* poffs, int64_t* fstarts) {
     int64_t nblocks = (nvalues + block - 1) / block;
     int64_t start_byte = 0;
+    int wmax = 0;
     for (int64_t f = 0; f < nframes; ++f) {
         fstarts[f] = start_byte;
         uint64_t pos = (uint64_t)start_byte * 8;
         int width = 0;  // persists across blocks within a frame
-        if (!walk_blocks(payload, (uint64_t)payload_len, pos, width,
+        if (!walk_blocks(payload, (uint64_t)payload_len, pos, width, wmax,
                          nblocks, nvalues, block,
                          widths + f * nblocks,
                          poffs ? poffs + f * nblocks : nullptr))
@@ -166,7 +171,7 @@ int trpx_walk(const uint8_t* payload, int64_t payload_len,
         if (start_byte > payload_len) return -1;
     }
     fstarts[nframes] = start_byte;
-    return 0;
+    return wmax;
 }
 
 // Scatter per-frame payload chunks into fixed-stride rows (the decode
@@ -190,24 +195,26 @@ void trpx_gather_frames(const uint8_t* payload, const int64_t* starts,
 // Walk frames whose byte offsets are ALREADY KNOWN (from a sidecar index
 // or a previous walk): each frame's header walk is then independent and
 // runs in parallel (OpenMP). fstarts: [nframes] absolute byte offsets.
-// Returns 0, or -1 if any frame's walk ran past its end.
+// Returns the maximum block width seen (>= 0, see trpx_walk), or -1 if
+// any frame's walk ran past its end.
 int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
                       int64_t nframes, int64_t nvalues, int64_t block,
                       const int64_t* fstarts,
                       int32_t* widths, int64_t* poffs) {
     int64_t nblocks = (nvalues + block - 1) / block;
     int bad = 0;
-#pragma omp parallel for schedule(static) reduction(|:bad)
+    int wmax = 0;
+#pragma omp parallel for schedule(static) reduction(|:bad) reduction(max:wmax)
     for (int64_t f = 0; f < nframes; ++f) {
         uint64_t pos = (uint64_t)fstarts[f] * 8;
         int width = 0;
-        if (!walk_blocks(payload, (uint64_t)payload_len, pos, width,
+        if (!walk_blocks(payload, (uint64_t)payload_len, pos, width, wmax,
                          nblocks, nvalues, block,
                          widths + f * nblocks,
                          poffs ? poffs + f * nblocks : nullptr))
             bad |= 1;
     }
-    return bad ? -1 : 0;
+    return bad ? -1 : wmax;
 }
 
 // Encode `nframes` frames of `nvalues` int64 values (any source dtype is

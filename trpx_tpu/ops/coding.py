@@ -651,13 +651,15 @@ def walk_archive(
         fidx = np.asarray(fidx0, dtype=np.int64)
         native.walk_indexed(buf, fidx, meta.number_of_values,
                             meta.block, want_poffs=False,
-                            out_widths=widths[:F])
+                            out_widths=widths[:F],
+                            max_width=meta.prolix_bits)
         starts = fidx
         ends = np.concatenate([fidx[1:], [meta.memory_size]])
     elif have_native:
         _w, _o, fstarts = native.walk(buf, F, meta.number_of_values,
                                       meta.block, want_poffs=False,
-                                      out_widths=widths[:F])
+                                      out_widths=widths[:F],
+                                      max_width=meta.prolix_bits)
         starts, ends = fstarts[:-1], fstarts[1:]
     else:
         starts = np.zeros(F, dtype=np.int64)
@@ -669,6 +671,10 @@ def walk_archive(
             widths[f] = w
             starts[f], ends[f] = pos, nxt
             pos = nxt
+        if F and int(widths[:F].max()) > meta.prolix_bits:
+            raise ValueError(
+                f"corrupt TRPX payload: block width {int(widths[:F].max())}"
+                f" exceeds the header's prolix_bits={meta.prolix_bits}")
     # bucket the per-frame word buffers to the ACTUAL stream size (pow2,
     # bounding recompiles): the split tree clamps its node capacities at
     # this size — the decode analog of the encoder's soft capacities
