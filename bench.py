@@ -268,7 +268,26 @@ def main() -> None:
     except Exception:
         pass
 
+    # Device discovery hangs indefinitely when the tunneled TPU is
+    # unreachable (observed: jax.devices() never returns). Fail fast
+    # with a diagnosable exit instead of letting the driver's bench run
+    # sit until its own timeout. 300 s is generous for first contact;
+    # compiles happen after discovery and are not under the watchdog.
+    import threading
+
+    def _discovery_timeout():
+        print(
+            "bench.py: TPU device discovery timed out after 300 s — "
+            "backend/tunnel unreachable; no measurement taken",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    watchdog = threading.Timer(300.0, _discovery_timeout)
+    watchdog.daemon = True
+    watchdog.start()
     dev = jax.devices()[0]
+    watchdog.cancel()
     kind = getattr(dev, "device_kind", "?")
     print(f"device: {dev.platform} {kind}", file=sys.stderr)
     sol = HBM_GBS.get(kind)
