@@ -119,6 +119,7 @@ def decompress(
     archive: TrpxArchive | bytes,
     dtype=None,
     device: bool | None = None,
+    frames=None,
 ) -> np.ndarray:
     """Decode an archive to pixels.
 
@@ -126,9 +127,16 @@ def decompress(
     Returns (F, h, w) when the header carries 2-D dimensions, else (F, n);
     single-frame archives are squeezed to (h, w) / (n,).
     ``dtype`` defaults to :func:`output_dtype` of the stream.
+    ``frames`` selects a subset to decode — an int (that frame, squeezed),
+    slice, or sequence of indices; cost is O(selected frames), not
+    O(archive) (frames are byte-aligned and independent, Terse.hpp:505).
     """
     if isinstance(archive, (bytes, bytearray, memoryview)):
         archive = TrpxArchive.from_bytes(bytes(archive))
+    if frames is not None:
+        from .io.trpx import subset_frames
+
+        archive = subset_frames(archive, frames)
     meta = archive.meta
     dtype = np.dtype(dtype) if dtype is not None else output_dtype(meta)
     if meta.signed and dtype.kind == "u":

@@ -97,6 +97,13 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
                         "foreign archive's first walk)")
 
 
+def _decode_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--frames", type=str, default=None, metavar="SPEC",
+                   help="decode only these frames: '7', 'a:b[:c]' "
+                        "(python slice), or '1,3,9' — O(selected), not "
+                        "O(archive)")
+
+
 def _out_path(src: Path, ext: str, out_dir: Path | None) -> Path:
     dst = src.with_suffix(ext)
     if out_dir is not None:
@@ -213,9 +220,23 @@ def _encode_files(args) -> int:
     return 0
 
 
+def _parse_frames(spec: str):
+    """CLI frame selection: '7' | 'a:b[:c]' (python slice) | '1,3,9'."""
+    if ":" in spec:
+        parts = [int(t) if t else None for t in spec.split(":")]
+        if len(parts) > 3:
+            raise ValueError(f"bad --frames spec {spec!r}")
+        return slice(*parts)
+    if "," in spec:
+        return [int(t) for t in spec.split(",") if t]
+    return int(spec)
+
+
 def _decode_files(args) -> int:
     user_time = io_time = 0.0
     n_done = 0
+    sel = (_parse_frames(args.frames)
+           if getattr(args, "frames", None) else None)
     device = False if args.host else None
     if not args.host:
         _configure_jax()
@@ -233,8 +254,8 @@ def _decode_files(args) -> int:
             else:
                 # square fallback (prolix.cpp:62-63)
                 w = h = int(math.isqrt(meta.number_of_values))
-            pixels = api.decompress(archive, device=device)
-            pixels = pixels.reshape(meta.number_of_frames, h, w)
+            pixels = api.decompress(archive, device=device, frames=sel)
+            pixels = pixels.reshape(-1, h, w)
             t2 = time.perf_counter()
             if args.index and getattr(archive, "width_table", None) is None:
                 # cache the walk of a foreign archive: later decodes of
@@ -299,6 +320,7 @@ def prolix_main(argv=None) -> int:
     )
     p.add_argument("-help", "--help", action="help", help="print help")
     _common_flags(p)
+    _decode_flags(p)
     return _decode_files(p.parse_args(argv))
 
 
@@ -312,6 +334,7 @@ def main(argv=None) -> int:
     enc.set_defaults(fn=_encode_files)
     dec = sub.add_parser("decode", help="expand .trpx files to TIFF")
     _common_flags(dec)
+    _decode_flags(dec)
     dec.set_defaults(fn=_decode_files)
     info = sub.add_parser("info", help="print .trpx header metadata")
     info.add_argument("files", nargs="+")

@@ -182,3 +182,73 @@ def _compute_offsets(archive: TrpxArchive):
                                 meta.number_of_values, meta.block)
         widths[f] = w
     return offs, widths
+
+
+def frame_offsets(archive: TrpxArchive) -> np.ndarray:
+    """(F,) int64 byte offset of every frame, computed once and cached
+    on the archive (with the width tables, so a later decode's prepass
+    is walk-free)."""
+    offs = getattr(archive, "frame_index", None)
+    if offs is None:
+        offs, wt = _compute_offsets(archive)
+        archive.frame_index = offs
+        archive.width_table = wt
+    return np.asarray(offs, dtype=np.int64)
+
+
+def subset_frames(archive: TrpxArchive, frames) -> TrpxArchive:
+    """Sub-archive holding only the selected frames.
+
+    ``frames``: int, slice, or a sequence of ints (any order, negatives
+    allowed). Frames are byte-aligned and independent — the repeat-width
+    chain resets at each frame start (Terse.hpp:505) — so their payload
+    slices concatenate into a VALID archive of exactly those frames.
+    Cost: one cached index walk + O(selected payload bytes); random
+    access through the public API is therefore O(frame), not O(archive)
+    (the reference's f_find_terse_frame rescans and is wrong for
+    frame >= 1 anyway, bugs B1/B2).
+    """
+    meta = archive.meta
+    F = meta.number_of_frames
+    if isinstance(frames, slice):
+        idx = np.arange(F, dtype=np.int64)[frames]
+    else:
+        idx = np.atleast_1d(np.asarray(frames, dtype=np.int64))
+    if idx.ndim != 1:
+        raise ValueError("frames must be an int, slice, or 1-D sequence")
+    if idx.size == 0:
+        raise ValueError("empty frame selection")
+    idx = np.where(idx < 0, idx + F, idx)
+    if ((idx < 0) | (idx >= F)).any():
+        raise IndexError(f"frame selection out of range [0, {F})")
+    if idx.size == F and np.array_equal(idx, np.arange(F)):
+        return archive
+    offs = frame_offsets(archive)
+    ends = np.concatenate([offs[1:], [meta.memory_size]])
+    sizes = (ends - offs)[idx]
+    starts_new = np.concatenate([[0], np.cumsum(sizes[:-1])])
+    total = int(sizes.sum())
+    payload = archive.payload
+    if idx.size > 1 and (idx[1:] == idx[:-1] + 1).all():
+        # contiguous run: one slice, no copy assembly
+        blob = payload[int(offs[idx[0]]) : int(ends[idx[-1]])]
+    else:
+        out = bytearray(total)
+        for k, f in enumerate(idx):
+            lo, hi = int(offs[f]), int(ends[f])
+            out[int(starts_new[k]) : int(starts_new[k]) + (hi - lo)] = (
+                payload[lo:hi]
+            )
+        blob = bytes(out)
+    from dataclasses import replace
+
+    sub = TrpxArchive(
+        meta=replace(meta, number_of_frames=int(idx.size),
+                     memory_size=total),
+        payload=blob,
+    )
+    sub.frame_index = starts_new
+    wt = getattr(archive, "width_table", None)
+    if wt is not None and wt.shape[0] == F:
+        sub.width_table = np.ascontiguousarray(wt[idx])
+    return sub

@@ -124,24 +124,8 @@ class Terse:
         F = arch.meta.number_of_frames
         if not (0 <= frame < F):
             raise IndexError(f"frame {frame} out of range [0, {F})")
-        if F > 1:
-            offs = getattr(arch, "frame_index", None)
-            if offs is None:
-                from .io.trpx import _compute_offsets
-
-                offs, wt = _compute_offsets(arch)
-                arch.frame_index = offs
-                arch.width_table = wt
-            lo = int(offs[frame])
-            hi = (int(offs[frame + 1]) if frame + 1 < F
-                  else arch.meta.memory_size)
-            from dataclasses import replace
-
-            meta1 = replace(arch.meta, number_of_frames=1,
-                            memory_size=hi - lo)
-            sub = type(arch)(meta=meta1, payload=arch.payload[lo:hi])
-            return api.decompress(sub, dtype=dtype)
-        return api.decompress(arch, dtype=dtype)
+        return api.decompress(arch, dtype=dtype,
+                              frames=frame if F > 1 else None)
 
     # ------------------------------------------------- metadata accessors ---
     # (Terse.hpp:396-444)
