@@ -171,11 +171,10 @@ def bench_512(jax, jnp, F, reps):
         from trpx_tpu.ops.coding import decode_batch_device
 
         wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
-        po = jnp.asarray(poffs)
 
         @jax.jit
         def dec_sum(wb, wd):
-            o = decode_batch_device(spec, wb, wd, po)
+            o = decode_batch_device(spec, wb, wd, None)
             return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
 
     int(dec_sum(wb, wd))

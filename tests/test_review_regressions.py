@@ -1,0 +1,119 @@
+"""Regressions pinned from the round-2 code review.
+
+Each test encodes one confirmed finding: hostile/corrupt sidecars must
+never reach the native gather unvalidated, the header validator must
+accept everything our own encoder emits, and the Terse adapter must
+reject dimension drift the reference class errors on.
+"""
+
+import numpy as np
+import pytest
+
+import trpx_tpu
+from trpx_tpu import api
+from trpx_tpu.format import pycodec
+from trpx_tpu.io.trpx import (
+    read_trpx,
+    write_index,
+    write_trpx,
+)
+
+
+@pytest.fixture()
+def archive_file(tmp_path):
+    rng = np.random.default_rng(5)
+    stack = rng.poisson(3.0, size=(4, 40, 40)).astype(np.uint16)
+    arch = api.compress(stack)
+    p = tmp_path / "m.trpx"
+    write_trpx(arch, p, index=True)
+    return p, stack, arch
+
+
+def test_sidecar_oob_offsets_rejected(archive_file):
+    """Offsets pointing outside the payload (or non-monotonic) must be
+    discarded — the v2 fast path feeds them into the native memcpy
+    gather with no validating walk."""
+    p, stack, arch = archive_file
+    F = arch.meta.number_of_frames
+    for offs in (
+        np.array([0, 2**60, 2**61, 2**62], np.int64),          # way out
+        np.array([0, 10, 5, 20], np.int64),                    # non-monotonic
+        np.array([1, 5, 9, 13], np.int64),                     # frame0 != 0
+        np.array([0, 5, 9, arch.meta.memory_size], np.int64),  # last == end
+    ):
+        write_index(p, offs.astype(np.uint64), arch.meta.memory_size)
+        loaded = read_trpx(p)
+        assert loaded.frame_index is None, offs
+        # decode falls back to the validating walk and stays correct
+        np.testing.assert_array_equal(api.decompress(loaded), stack)
+
+
+def test_sidecar_corrupt_width_table_rejected(archive_file):
+    """v2 width tables exceeding the archive's prolix_bits claim are
+    corrupt (the walk paths reject such widths); the sidecar must be
+    dropped, not fed to the kernels."""
+    p, stack, arch = archive_file
+    good = read_trpx(p)
+    assert good.width_table is not None  # sanity: v2 sidecar present
+    wt = np.asarray(good.width_table).copy()
+    wt[0, 0] = arch.meta.prolix_bits + 5
+    write_index(p, np.asarray(good.frame_index, np.uint64),
+                arch.meta.memory_size, widths=wt)
+    loaded = read_trpx(p)
+    assert getattr(loaded, "width_table", None) is None
+    np.testing.assert_array_equal(api.decompress(loaded), stack)
+
+
+def test_prolix_bits_65_roundtrips():
+    """INT64_MIN blocks have signed width 65 (1 + bitlength(2^63)); the
+    header validator must accept what our encoder emits (bound is 73,
+    the 12-bit header form's maximum, not 64)."""
+    frame = np.array([np.iinfo(np.int64).min, -3, 0, 7], dtype=np.int64)
+    arch = api.compress(frame[None])
+    assert arch.meta.prolix_bits == 65
+    blob = arch.to_bytes()
+    out = np.asarray(api.decompress(blob, dtype=np.int64)).reshape(-1)
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_push_back_dim_mismatch_rejected():
+    """Same flat size, different (h, w): Terse.hpp:314-319 errors; a
+    silent accept would scramble prolix()'s reshape."""
+    t = trpx_tpu.Terse(np.zeros((4, 8), np.int32))
+    with pytest.raises(ValueError, match="dimensions"):
+        t.push_back(np.zeros((8, 4), np.int32))
+    # matching dims still append
+    t.push_back(np.zeros((4, 8), np.int32))
+    assert t.number_of_frames == 2
+
+
+def test_iter_decode_passes_schedule_as_ratio(monkeypatch, tmp_path):
+    """The cross-chunk joined schedule must reach the decoder's ratio
+    parameter, not its (deleted) poffs slot."""
+    from trpx_tpu.runtime import stream as stream_mod
+
+    rng = np.random.default_rng(8)
+    stack = rng.poisson(3.0, size=(6, 1000)).astype(np.uint16)
+    arch = pycodec.encode(list(stack))
+    p = tmp_path / "s.trpx"
+    write_trpx(arch, p)
+
+    seen = []
+    from trpx_tpu.ops import coding
+
+    real = coding._best_decoder()
+
+    def spy():
+        def run(spec, words, widths, poffs, ratio=None):
+            seen.append((poffs, ratio))
+            return real(spec, words, widths, poffs, ratio)
+        return run
+
+    monkeypatch.setattr(coding, "_best_decoder", spy)
+    out = np.concatenate(
+        [np.asarray(c) for c in stream_mod.iter_decode(
+            p, np.uint16, chunk_frames=3)])
+    np.testing.assert_array_equal(out[:, :1000], stack)
+    assert seen, "decoder was never called"
+    for poffs, ratio in seen:
+        assert poffs is None

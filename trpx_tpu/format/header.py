@@ -140,9 +140,12 @@ def parse_header(data: bytes, tag: str = "Terse", start: int = 0) -> tuple[TrpxM
             f"invalid number_of_frames={meta.number_of_frames}")
     if meta.memory_size < 0:
         raise ValueError(f"invalid memory_size={meta.memory_size}")
-    if not 0 <= meta.prolix_bits <= 64:
+    if not 0 <= meta.prolix_bits <= 73:
+        # 73 = 10 + 63, the widest width the 12-bit header form encodes
+        # (Terse.hpp:530-533); our own encoder emits 65 for INT64_MIN
+        # blocks (signed width = 1 + bitlength(|v|))
         raise ValueError(
-            f"invalid prolix_bits={meta.prolix_bits} (0..64)")
+            f"invalid prolix_bits={meta.prolix_bits} (0..73)")
     if any(d <= 0 for d in meta.dimensions):
         raise ValueError(f"invalid dimensions={meta.dimensions}")
     return meta, end

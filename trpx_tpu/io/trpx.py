@@ -57,6 +57,20 @@ def write_index(path, offsets, payload_size: int, widths=None) -> None:
     _idx_path(path).write_bytes(blob)
 
 
+def _offsets_valid(offs: np.ndarray, payload_size: int) -> bool:
+    """Structural sanity of sidecar frame offsets: frame 0 at byte 0,
+    strictly increasing (every frame carries a terminal byte), all
+    inside the payload. The v2 fast path feeds these straight into the
+    native parallel gather WITHOUT a validating walk, so a corrupt or
+    hostile sidecar must be rejected here, not segfault in memcpy."""
+    return bool(
+        offs.size > 0
+        and offs[0] == 0
+        and int(offs[-1]) < payload_size
+        and (np.diff(offs) > 0).all()
+    )
+
+
 def read_index_full(path, n_frames: int, payload_size: int):
     """Load the sidecar index if present and consistent.
 
@@ -74,6 +88,8 @@ def read_index_full(path, n_frames: int, payload_size: int):
             return None, None
         offs = np.frombuffer(data, dtype="<u8", offset=32,
                              count=count).astype(np.int64)
+        if not _offsets_valid(offs, payload_size):
+            return None, None
         wt = np.frombuffer(data, dtype=np.uint8,
                            offset=32 + 8 * count).reshape(count, nb)
         if wt.size and int(wt.max()) > 73:
@@ -89,7 +105,10 @@ def read_index_full(path, n_frames: int, payload_size: int):
         return None, None  # stale sidecar
     if len(data) != 24 + 8 * count:
         return None, None
-    return np.frombuffer(data, dtype="<u8", offset=24).astype(np.int64), None
+    offs = np.frombuffer(data, dtype="<u8", offset=24).astype(np.int64)
+    if not _offsets_valid(offs, payload_size):
+        return None, None
+    return offs, None
 
 
 def read_index(path, n_frames: int, payload_size: int):
@@ -116,6 +135,11 @@ def read_trpx(src) -> TrpxArchive:
         offs, wt = read_index_full(
             path, arch.meta.number_of_frames, arch.meta.memory_size
         )
+        if wt is not None and wt.size and int(wt.max()) > arch.meta.prolix_bits:
+            # walk paths enforce width <= prolix_bits (encoder invariant,
+            # Terse.hpp:516); a sidecar that skips the walk must meet the
+            # same bar or be discarded as corrupt
+            offs = wt = None
         arch.frame_index = offs
         if wt is not None:
             arch.width_table = wt  # (F, nb) u8: decode skips the walk

@@ -367,7 +367,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
             s_c = choose_schedule(spec, widths_p)
             sched = (s_c if sched is None
                      else tuple(max(a, b) for a, b in zip(sched, s_c)))
-        fut = run(spec, words, widths_p, sched)
+        fut = run(spec, words, widths_p, None, sched)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)

@@ -76,6 +76,11 @@ class Terse:
             if (stack.dtype.kind == "i") != (
                     self._frames[0].dtype.kind == "i"):
                 raise ValueError("signedness differs from the stack's")
+            if dim and self._dim and dim != self._dim:
+                # same flat size but different (w, h) would silently
+                # scramble prolix()'s reshape (Terse.hpp:314-319 errors)
+                raise ValueError(
+                    f"dimensions {dim} differ from the stack's {self._dim}")
         else:
             self._dim = dim
         self._frames.extend(stack)
