@@ -90,8 +90,9 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.trpx_encode_frames.restype = ctypes.c_int64
         lib.trpx_encode_frames.argtypes = [
-            c_i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, c_u8p, ctypes.c_int64, c_i64p, c_i32p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            c_u8p, ctypes.c_int64, c_i64p, c_i32p,
         ]
         lib.trpx_gather_frames.restype = None
         lib.trpx_gather_frames.argtypes = [
@@ -101,7 +102,7 @@ def _load() -> ctypes.CDLL | None:
         lib.trpx_decode_frames.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, c_i32p, c_i64p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int64, ctypes.c_int64, c_i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
         _LIB = lib
         return _LIB
@@ -263,25 +264,30 @@ def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
 
 
 def encode_frames(frames: np.ndarray, block: int, signed: bool):
-    """Encode (F, n) int64 frames -> (payload bytes, fstarts, prolix_bits).
+    """Encode (F, n) integral frames -> (payload bytes, fstarts,
+    prolix_bits). Bit-identical to the reference encoder.
 
-    Bit-identical to the reference encoder; any original dtype must be
-    widened to int64 by the caller (its two's-complement values).
-    """
+    The C side is templated on the element size, so frames pass through
+    in their ORIGINAL dtype — no int64-widening copy, and the worst-case
+    reservation scales with the dtype's width instead of 65 bits."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    frames = np.ascontiguousarray(frames, dtype=np.int64)
+    frames = np.ascontiguousarray(frames)
+    if frames.dtype.kind not in "iu":
+        raise TypeError(f"integral frames required, got {frames.dtype}")
     F, n = frames.shape
     nb = -(-n // block)
-    # worst case: 65-bit fields + 12-bit headers, per frame, + terminal bytes
-    per_frame = (65 * n + 12 * nb) // 8 + 2
+    itemsize = frames.dtype.itemsize
+    max_w = 8 * itemsize + (1 if signed else 0)  # 65 only for int64
+    per_frame = (max_w * n + 12 * nb) // 8 + 2
     cap = F * per_frame + SLACK
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)  # C writes every returned byte
     fstarts = np.empty(F + 1, dtype=np.int64)
     prolix = np.zeros(1, dtype=np.int32)
     total = lib.trpx_encode_frames(
-        _ptr(frames, ctypes.c_int64), F, n, block, int(signed),
+        frames.ctypes.data_as(ctypes.c_void_p), itemsize, int(signed),
+        F, n, block,
         _ptr(out, ctypes.c_uint8), cap, _ptr(fstarts, ctypes.c_int64),
         _ptr(prolix, ctypes.c_int32),
     )
@@ -308,25 +314,33 @@ def decode_frames(
     dtype = np.dtype(target_dtype)
     widths, poffs, _ = walk(payload, nframes, nvalues, block)
     buf = _padded_payload(payload)
-    out = np.empty((nframes, nvalues), dtype=np.int64)
     if dtype.kind == "i":
         signed, bits = 1, 8 * dtype.itemsize
         info = np.iinfo(dtype)
         cmin, cmax = int(info.min), int(info.max)
+        out = np.empty((nframes, nvalues), dtype=dtype)
     elif dtype.kind == "u":
         signed, bits = 0, 8 * dtype.itemsize
         cmin, cmax = 0, int(np.iinfo(dtype).max)
+        out = np.empty((nframes, nvalues), dtype=dtype)
     else:  # float target: int64/uint64 semantics, no clamp (Terse.hpp:379-383)
         signed, bits, cmin, cmax = (1 if stream_signed else 0), 64, 0, 0
+        out = np.empty((nframes, nvalues), dtype=np.int64)
+    # the C side stores the target width directly (clamp/sign semantics
+    # applied on the int64 value, then truncated to the output's low
+    # bits — exactly what the former astype(dtype) narrowing did)
     rc = lib.trpx_decode_frames(
         _ptr(buf, ctypes.c_uint8), len(payload), nframes, nvalues, block,
         _ptr(widths, ctypes.c_int32), _ptr(poffs, ctypes.c_int64),
-        signed, bits, cmin, cmax, _ptr(out, ctypes.c_int64),
+        signed, bits, cmin, cmax,
+        out.ctypes.data_as(ctypes.c_void_p), out.dtype.itemsize,
     )
     if rc != 0:
         raise ValueError("malformed TRPX payload")
     if dtype == np.uint64:
         return out.view(np.uint64)
-    if dtype.kind == "f" and not stream_signed:
-        return out.view(np.uint64).astype(dtype)
-    return out.astype(dtype)
+    if dtype.kind == "f":
+        if not stream_signed:
+            return out.view(np.uint64).astype(dtype)
+        return out.astype(dtype)
+    return out

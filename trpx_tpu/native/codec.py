@@ -27,12 +27,9 @@ def encode(
     if frames.dtype.kind not in "iu":
         raise TypeError(f"only integral dtypes are encodable, got {frames.dtype}")
     signed = frames.dtype.kind == "i"
-    # int64 view keeps two's-complement patterns: uint64 values > 2^63-1
-    # become negative int64 with the same magnitude bits, and the C side
-    # treats unsigned streams via |v| = the raw pattern only when signed=0 —
-    # so widen unsigned via uint64 view to int64 bit pattern.
-    wide = frames.astype(np.uint64 if not signed else np.int64).view(np.int64)
-    payload, _, prolix = encode_frames(wide, block, signed)
+    # the C encoder is templated on the element size: frames pass through
+    # in their own dtype (no int64-widening copy)
+    payload, _, prolix = encode_frames(frames, block, signed)
     meta = TrpxMeta(
         prolix_bits=prolix,
         signed=signed,

@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <algorithm>
 #include <vector>
 
@@ -217,59 +218,65 @@ int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
     return bad ? -1 : wmax;
 }
 
-// Encode `nframes` frames of `nvalues` int64 values (any source dtype is
-// widened to int64 host-side; magnitudes beyond 2^63-1 are not produced by
-// any supported dtype except the int64 minimum, handled via its 2^63 bit
-// pattern). Bit-identical to the reference encoder (Terse.hpp:500-549).
+// Encode `nframes` frames of `nvalues` values of the CALLER's dtype
+// (`itemsize` in {1,2,4,8} bytes, `is_signed` 0/1). Bit-identical to the
+// reference encoder (Terse.hpp:500-549) with B5/B6 corrected.
 //
-//   values   [nframes * nvalues] int64 (two's complement)
-//   out      caller buffer, worst case nframes * (8*nvalues + ceil(nb*12/8) + 1)
+//   values   [nframes * nvalues] native-endian elements
+//   out      caller buffer; worst case per frame:
+//            (max_width*nvalues + 12*nblocks)/8 + 2 bytes
 //   fstarts  [nframes + 1] int64 — byte offset of each frame in `out`
-// Returns total bytes written (>= 0), or -1 on unencodable width.
+// Returns total bytes written (>= 0), or -1 on unencodable width /
+// insufficient out_cap.
 namespace {
 
 // Magnitude OR of one block -> field width (Terse.hpp:510-511,553).
-inline int frame_block_width(const int64_t* frame, int64_t lo, int64_t hi,
+// Templated on the SOURCE dtype: processing u16 pixels directly (instead
+// of an int64-widened host copy) quarters the scan traffic of both
+// passes and removes the widening copy entirely.
+extern "C++" {
+template <typename T>
+inline int frame_block_width(const T* frame, int64_t lo, int64_t hi,
                              int is_signed) {
     uint64_t setbits = 0;
     if (is_signed) {
         for (int64_t i = lo; i < hi; ++i) {
-            int64_t v = frame[i];
+            int64_t v = (int64_t)frame[i];
             setbits |= (v < 0 ? -(uint64_t)v : (uint64_t)v);
         }
     } else {
-        // unsigned streams OR raw patterns; values arrive as int64 bit
-        // patterns of the uint64 data
+        using U = std::make_unsigned_t<T>;
         for (int64_t i = lo; i < hi; ++i)
-            setbits |= (uint64_t)frame[i];
+            setbits |= (uint64_t)(U)frame[i];
     }
     int width = highest_set_bit(setbits);
     if (is_signed && width) width += 1;  // sign bit
     return width;
 }
 
-}  // namespace
-
 // Two-pass PARALLEL encoder: frame streams are byte-aligned (the
 // 1 + bits/8 terminal-byte rule, Terse.hpp:547), so once a cheap
 // parallel size pass fixes every frame's byte range, each frame encodes
 // independently (OpenMP) into a private scratch and memcpys its exact
 // bytes — the 16-byte writer windows would otherwise race on the shared
-// buffer at frame boundaries.
-int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
+// buffer at frame boundaries. Pass 1 caches every block width so pass 2
+// does not re-scan the pixels for the OR-reduce.
+template <typename T>
+int64_t encode_frames_impl(const T* values, int64_t nframes,
                            int64_t nvalues, int64_t block, int is_signed,
                            uint8_t* out, int64_t out_cap,
                            int64_t* fstarts, int32_t* prolix_bits_out) {
     int64_t nblocks = (nvalues + block - 1) / block;
-    std::memset(out, 0, (size_t)out_cap);
     std::vector<int64_t> fbits((size_t)nframes);
+    std::vector<int8_t> wtab((size_t)(nframes * nblocks));
     int prolix = 0;
     int bad = 0;
-    // pass 1: per-frame bit sizes + prolix (no writes)
+    // pass 1: per-frame bit sizes + widths + prolix (no stream writes)
 #pragma omp parallel for schedule(static) \
     reduction(max:prolix) reduction(|:bad)
     for (int64_t f = 0; f < nframes; ++f) {
-        const int64_t* frame = values + f * nvalues;
+        const T* frame = values + f * nvalues;
+        int8_t* wrow = wtab.data() + f * nblocks;
         int prev = 0;  // reset per frame (Terse.hpp:505)
         int64_t bits = 0;
         for (int64_t b = 0; b < nblocks; ++b) {
@@ -277,6 +284,7 @@ int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
             int64_t hi = std::min(nvalues, lo + block);
             int width = frame_block_width(frame, lo, hi, is_signed);
             if (width > 73) { bad = 1; break; }
+            wrow[b] = (int8_t)width;
             prolix = std::max(prolix, width);
             if (width == prev) {
                 bits += 1;
@@ -296,18 +304,22 @@ int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
     }
     fstarts[nframes] = start_byte;
     if (start_byte > out_cap - 16) return -1;
-    // pass 2: encode every frame independently at its known offset
+    // pass 2: encode every frame independently at its known offset.
+    // No global memset of `out`: the per-frame scratches are
+    // zero-initialized and the fstarts ranges partition [0, start_byte)
+    // exactly, so every returned byte is written by exactly one memcpy.
 #pragma omp parallel for schedule(static)
     for (int64_t f = 0; f < nframes; ++f) {
         int64_t len = fstarts[f + 1] - fstarts[f];
         std::vector<uint8_t> scratch((size_t)len + 32, 0);
         BitWriter w{scratch.data(), 0};
-        const int64_t* frame = values + f * nvalues;
+        const T* frame = values + f * nvalues;
+        const int8_t* wrow = wtab.data() + f * nblocks;
         int prev = 0;
         for (int64_t b = 0; b < nblocks; ++b) {
             int64_t lo = b * block;
             int64_t hi = std::min(nvalues, lo + block);
-            int width = frame_block_width(frame, lo, hi, is_signed);
+            int width = wrow[b];
             // block header (Terse.hpp:517-535)
             if (width == prev) {
                 w.put(1, 1);
@@ -318,9 +330,15 @@ int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
                 prev = width;
             }
             if (width) {
-                for (int64_t i = lo; i < hi; ++i) {
-                    int64_t v = frame[i];
-                    w.put_wide((uint64_t)v, width, v < 0 ? 1 : 0);
+                if (is_signed) {
+                    for (int64_t i = lo; i < hi; ++i) {
+                        int64_t v = (int64_t)frame[i];
+                        w.put_wide((uint64_t)v, width, v < 0 ? 1 : 0);
+                    }
+                } else {
+                    using U = std::make_unsigned_t<T>;
+                    for (int64_t i = lo; i < hi; ++i)
+                        w.put((uint64_t)(U)frame[i], width);
                 }
             }
         }
@@ -330,32 +348,60 @@ int64_t trpx_encode_frames(const int64_t* values, int64_t nframes,
     return start_byte;
 }
 
-// Decode all frames into int64 (or uint64 bit patterns for unsigned
-// streams), given the walk tables. Extraction semantics per
-// Bit_pointer.hpp:597-617,742-792:
+}  // extern "C++"
+}  // namespace
+
+int64_t trpx_encode_frames(const void* values, int itemsize, int is_signed,
+                           int64_t nframes, int64_t nvalues, int64_t block,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* fstarts, int32_t* prolix_bits_out) {
+#define TRPX_ENC(T, SGN) encode_frames_impl((const T*)values, nframes, \
+    nvalues, block, SGN, out, out_cap, fstarts, prolix_bits_out)
+    switch (itemsize) {
+    case 1: return is_signed ? TRPX_ENC(int8_t, 1)  : TRPX_ENC(uint8_t, 0);
+    case 2: return is_signed ? TRPX_ENC(int16_t, 1) : TRPX_ENC(uint16_t, 0);
+    case 4: return is_signed ? TRPX_ENC(int32_t, 1) : TRPX_ENC(uint32_t, 0);
+    case 8: return is_signed ? TRPX_ENC(int64_t, 1) : TRPX_ENC(uint64_t, 0);
+    }
+#undef TRPX_ENC
+    return -1;
+}
+
+
+// Decode all frames into the caller's OUTPUT dtype (out_itemsize in
+// {1,2,4,8}; 8 also serves float targets via int64/uint64 bit patterns),
+// given the walk tables. Writing the target width directly (instead of
+// an int64 buffer narrowed host-side) quarters the store traffic for
+// u16 pixels. Extraction semantics per Bit_pointer.hpp:597-617,742-792:
 //   * target_signed: sign-extend any field whose top bit is set (B4)
 //   * clamp to [clamp_min, clamp_max] when the field width exceeds
-//     target_bits (clamping disabled when target_bits >= 64)
-int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
+//     target_bits (clamping disabled when target_bits >= 64); narrower
+//     stores otherwise truncate to the output's low bits, matching
+//     get_range's raw-pattern write
+extern "C++" {
+namespace {
+
+template <typename OUT>
+int decode_frames_impl(const uint8_t* payload, int64_t payload_len,
                        int64_t nframes, int64_t nvalues, int64_t block,
                        const int32_t* widths, const int64_t* poffs,
                        int target_signed, int target_bits,
                        int64_t clamp_min, int64_t clamp_max,
-                       int64_t* out) {
+                       OUT* out) {
     int64_t nblocks = (nvalues + block - 1) / block;
     // frames decode independently: poffs are absolute, each thread
     // carries its own reader
 #pragma omp parallel for schedule(static)
     for (int64_t f = 0; f < nframes; ++f) {
         BitReader r{payload, (uint64_t)payload_len, 0};
-        int64_t* dst = out + f * nvalues;
+        OUT* dst = out + f * nvalues;
         for (int64_t b = 0; b < nblocks; ++b) {
             int64_t idx = f * nblocks + b;
             int width = widths[idx];
             int64_t lo = b * block;
             int64_t hi = std::min(nvalues, lo + block);
             if (width == 0) {
-                std::memset(dst + lo, 0, (size_t)(hi - lo) * 8);
+                std::memset(dst + lo, 0, (size_t)(hi - lo) * sizeof(OUT));
                 continue;
             }
             r.pos = (uint64_t)poffs[idx];
@@ -387,11 +433,33 @@ int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
                         v = (int64_t)(uv > umax ? umax : uv);
                     }
                 }
-                dst[i] = v;
+                dst[i] = (OUT)v;
             }
         }
     }
     return 0;
+}
+
+}  // namespace
+}  // extern "C++"
+
+int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
+                       int64_t nframes, int64_t nvalues, int64_t block,
+                       const int32_t* widths, const int64_t* poffs,
+                       int target_signed, int target_bits,
+                       int64_t clamp_min, int64_t clamp_max,
+                       void* out, int out_itemsize) {
+#define TRPX_DEC(T) decode_frames_impl(payload, payload_len, nframes, \
+    nvalues, block, widths, poffs, target_signed, target_bits, \
+    clamp_min, clamp_max, (T*)out)
+    switch (out_itemsize) {
+    case 1: return TRPX_DEC(uint8_t);
+    case 2: return TRPX_DEC(uint16_t);
+    case 4: return TRPX_DEC(uint32_t);
+    case 8: return TRPX_DEC(uint64_t);
+    }
+#undef TRPX_DEC
+    return -1;
 }
 
 }  // extern "C"
