@@ -20,14 +20,15 @@ from trpx_tpu.ops import pallas_pack, pallas_unpack
 BLOCK = 12
 
 
-@pytest.fixture(autouse=True)
+@pytest.fixture(autouse=True, scope="module")
 def _fresh_compile_state():
     """These dense worst-case (cap_ratio=1.0) interpret-mode programs are
     the largest XLA:CPU compiles in the suite; compiling them on top of
     ~300 tests' accumulated executables has segfaulted inside XLA
     (jaxlib 0.9, both in backend_compile and executable.serialize).
-    Clearing JAX's caches first keeps the compiler within the envelope
-    it handles reliably. Cheap here: this module is last in the suite."""
+    Clearing JAX's caches once at module start keeps the compiler within
+    the envelope it handles reliably (this module alone compiles fine
+    from a fresh state — verified standalone)."""
     jax.clear_caches()
 
 

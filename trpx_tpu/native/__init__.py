@@ -303,6 +303,7 @@ def decode_frames(
     block: int,
     target_dtype,
     stream_signed: bool = False,
+    max_width: int | None = None,
 ) -> np.ndarray:
     """Decode all frames -> (F, n) of ``target_dtype`` with the reference's
     extraction semantics (sign-extension into signed targets, clamping).
@@ -312,7 +313,8 @@ def decode_frames(
     if lib is None:
         raise RuntimeError("native library unavailable")
     dtype = np.dtype(target_dtype)
-    widths, poffs, _ = walk(payload, nframes, nvalues, block)
+    widths, poffs, _ = walk(payload, nframes, nvalues, block,
+                            max_width=max_width)
     buf = _padded_payload(payload)
     if dtype.kind == "i":
         signed, bits = 1, 8 * dtype.itemsize

@@ -58,6 +58,7 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
         meta.block,
         dtype,
         stream_signed=meta.signed,
+        max_width=meta.prolix_bits,
     )
 
 
