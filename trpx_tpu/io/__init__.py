@@ -7,7 +7,7 @@ from .tiff import (
     read_tiff,
     write_tiff,
 )
-from .trpx import read_trpx, write_trpx
+from .trpx import frame_offsets, read_trpx, subset_frames, write_trpx
 
 __all__ = [
     "TiffError",
@@ -15,6 +15,8 @@ __all__ = [
     "TiffStream",
     "read_tiff",
     "write_tiff",
+    "frame_offsets",
     "read_trpx",
+    "subset_frames",
     "write_trpx",
 ]
