@@ -399,9 +399,16 @@ def write_tiff(images, dst=None) -> bytes | None:
     if not imgs:
         raise TiffError("no images to write")
 
-    out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, 0)
-    last_ifd_ptr = 4  # file offset of the pointer to patch (Grey_tif.hpp:339)
+    # Zero-copy assembly: pixel data stays as memoryviews of the callers'
+    # arrays (the bytearray += tobytes() version copied the payload three
+    # times — tobytes, append, final write — which dominated prolix-CLI
+    # e2e decode once the codec itself passed ~1,300 fps host-side).
+    chunks: list = []       # bytes-like pieces, written in order
+    pos = 0
+    hdr = bytearray(b"II" + struct.pack("<HI", 42, 0))
+    chunks.append(hdr)
+    pos = len(hdr)
+    patch_chunk, patch_off = 0, 4  # next-IFD pointer (Grey_tif.hpp:339)
     for img in imgs:
         img = np.ascontiguousarray(img)
         if img.ndim != 2:
@@ -413,13 +420,18 @@ def write_tiff(images, dst=None) -> bytes | None:
         if (bits, fmt) not in _DTYPES:
             raise TiffError(f"unsupported dtype {img.dtype}")
         h, w = img.shape
-        data_start = len(out)
-        out += img.astype(img.dtype.newbyteorder("<"), copy=False).tobytes()
-        if len(out) & 1:
-            out += b"\x00"  # word-align the IFD (Grey_tif.hpp:608-611)
-        ifd_at = len(out)
-        struct.pack_into("<I", out, last_ifd_ptr, ifd_at)
+        data_start = pos
+        le = np.ascontiguousarray(
+            img.astype(img.dtype.newbyteorder("<"), copy=False))
+        chunks.append(memoryview(le).cast("B"))
         nbytes = h * w * (bits // 8)
+        pos += nbytes
+        ifd = bytearray()
+        if pos & 1:
+            ifd += b"\x00"  # word-align the IFD (Grey_tif.hpp:608-611)
+            pos += 1
+        ifd_at = pos
+        struct.pack_into("<I", chunks[patch_chunk], patch_off, ifd_at)
         entries = [
             _ifd_entry(0x0100, 3 if w < 65536 else 4, w),
             _ifd_entry(0x0101, 3 if h < 65536 else 4, h),
@@ -430,18 +442,22 @@ def write_tiff(images, dst=None) -> bytes | None:
             _ifd_entry(0x0117, 4, nbytes),
             _ifd_entry(0x0153, 3, fmt),
         ]
-        out += struct.pack("<H", len(entries))
+        ifd += struct.pack("<H", len(entries))
         for e in entries:
-            out += e
-        last_ifd_ptr = len(out)
-        out += struct.pack("<I", 0)
+            ifd += e
+        patch_chunk = len(chunks)           # this ifd chunk, appended next
+        patch_off = len(ifd)                # next-IFD pointer inside it
+        ifd += struct.pack("<I", 0)
+        chunks.append(ifd)
+        pos = ifd_at + len(ifd) - (1 if ifd[:1] == b"\x00" else 0)
 
-    blob = bytes(out)
     if dst is None:
-        return blob
+        return b"".join(chunks)
     if isinstance(dst, (str, os.PathLike)):
         with open(dst, "wb") as f:
-            f.write(blob)
+            for c in chunks:
+                f.write(c)
     else:
-        dst.write(blob)
+        for c in chunks:
+            dst.write(c)
     return None
