@@ -304,6 +304,7 @@ def decode_frames(
     target_dtype,
     stream_signed: bool = False,
     max_width: int | None = None,
+    fstarts=None,
 ) -> np.ndarray:
     """Decode all frames -> (F, n) of ``target_dtype`` with the reference's
     extraction semantics (sign-extension into signed targets, clamping).
@@ -313,8 +314,16 @@ def decode_frames(
     if lib is None:
         raise RuntimeError("native library unavailable")
     dtype = np.dtype(target_dtype)
-    widths, poffs, _ = walk(payload, nframes, nvalues, block,
-                            max_width=max_width)
+    if fstarts is not None and len(fstarts) == nframes:
+        # known frame offsets (encoder archives / validated sidecar):
+        # the header walk parallelizes across frames (OpenMP) instead of
+        # chaining serially through the stream
+        widths, poffs = walk_indexed(
+            payload, np.asarray(fstarts, np.int64), nvalues, block,
+            max_width=max_width)
+    else:
+        widths, poffs, _ = walk(payload, nframes, nvalues, block,
+                                max_width=max_width)
     buf = _padded_payload(payload)
     if dtype.kind == "i":
         signed, bits = 1, 8 * dtype.itemsize

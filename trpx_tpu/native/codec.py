@@ -29,7 +29,7 @@ def encode(
     signed = frames.dtype.kind == "i"
     # the C encoder is templated on the element size: frames pass through
     # in their own dtype (no int64-widening copy)
-    payload, _, prolix = encode_frames(frames, block, signed)
+    payload, fstarts, prolix = encode_frames(frames, block, signed)
     meta = TrpxMeta(
         prolix_bits=prolix,
         signed=signed,
@@ -39,7 +39,9 @@ def encode(
         dimensions=tuple(dimensions),
         number_of_frames=frames.shape[0],
     )
-    return TrpxArchive(meta=meta, payload=payload)
+    arch = TrpxArchive(meta=meta, payload=payload)
+    arch.frame_index = fstarts[:-1]  # parallel walk on later decodes
+    return arch
 
 
 def decode(archive: TrpxArchive, dtype) -> np.ndarray:
@@ -59,6 +61,7 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
         dtype,
         stream_signed=meta.signed,
         max_width=meta.prolix_bits,
+        fstarts=getattr(archive, "frame_index", None),
     )
 
 
