@@ -57,6 +57,46 @@ struct BitWriter {
     }
 };
 
+// Sequential LSB-first writer with a carry buffer: one 8-byte store per
+// flush instead of BitWriter's 16-byte load+OR+store per field. Valid
+// for strictly append-only use (each frame encodes front to back) into
+// a buffer with >= 8 bytes of slack past the logical end; the caller
+// zero-fills the buffer's tail byte (the scratch is zero-initialized).
+struct SeqWriter {
+    uint8_t* p;        // next flush position (byte-aligned)
+    uint64_t acc = 0;  // pending bits, LSB-first
+    int n = 0;         // pending bit count (< 8 after flush)
+
+    inline void flush() {
+        // store the full 8-byte window, advance by the complete bytes
+        std::memcpy(p, &acc, 8);
+        int adv = n >> 3;
+        p += adv;
+        // n can be exactly 64 (a put that filled acc to the brim);
+        // acc >>= 64 would be UB (x86: no-op), leaving stale bits
+        acc = (adv >= 8) ? 0 : (acc >> (adv * 8));
+        n &= 7;
+    }
+    // append the low nbits (<= 56) of v
+    inline void put(uint64_t v, int nbits) {
+        if (n + nbits > 64) flush();  // leaves n <= 7, so n+nbits <= 63
+        acc |= (v & ((1ULL << nbits) - 1)) << n;
+        n += nbits;
+    }
+    // append up to 65 bits (value + explicit sign bit)
+    inline void put_wide(uint64_t lo, int nbits, int sign_bit) {
+        if (nbits <= 56) { put(lo, nbits); return; }
+        put(lo & 0xFFFFFFFFULL, 32);
+        if (nbits <= 64) {
+            put(lo >> 32, nbits - 32);
+        } else {
+            put(lo >> 32, 32);
+            put((uint64_t)sign_bit, nbits - 64);
+        }
+    }
+    inline void finish() { flush(); if (n) *p = (uint8_t)acc; }
+};
+
 // ----------------------------------------------------------- bit reader ---
 
 // NOTE: both reader and writer use unconditional 16-byte window memcpys;
@@ -312,7 +352,7 @@ int64_t encode_frames_impl(const T* values, int64_t nframes,
     for (int64_t f = 0; f < nframes; ++f) {
         int64_t len = fstarts[f + 1] - fstarts[f];
         std::vector<uint8_t> scratch((size_t)len + 32, 0);
-        BitWriter w{scratch.data(), 0};
+        SeqWriter w{scratch.data()};
         const T* frame = values + f * nvalues;
         const int8_t* wrow = wtab.data() + f * nblocks;
         int prev = 0;
@@ -335,13 +375,18 @@ int64_t encode_frames_impl(const T* values, int64_t nframes,
                         int64_t v = (int64_t)frame[i];
                         w.put_wide((uint64_t)v, width, v < 0 ? 1 : 0);
                     }
-                } else {
+                } else if (width <= 56) {
                     using U = std::make_unsigned_t<T>;
                     for (int64_t i = lo; i < hi; ++i)
                         w.put((uint64_t)(U)frame[i], width);
+                } else {
+                    using U = std::make_unsigned_t<T>;
+                    for (int64_t i = lo; i < hi; ++i)
+                        w.put_wide((uint64_t)(U)frame[i], width, 0);
                 }
             }
         }
+        w.finish();
         std::memcpy(out + fstarts[f], scratch.data(), (size_t)len);
     }
     *prolix_bits_out = prolix;
