@@ -1,0 +1,69 @@
+"""StreamingEncoder backend="host": native-codec chunks, no JAX at all.
+
+`terse --stream --host` must not initialize any accelerator runtime
+(on a box whose device plugin points at an unreachable backend, device
+init hangs); the host backend encodes chunks with the native C++ codec
+and must produce archives byte-identical to every other path.
+"""
+
+import numpy as np
+import pytest
+
+from trpx_tpu.format import pycodec
+from trpx_tpu.io.trpx import read_trpx
+from trpx_tpu.runtime.stream import StreamingEncoder
+
+
+def test_host_backend_byte_identical(tmp_path):
+    rng = np.random.default_rng(6)
+    stack = rng.poisson(3.0, size=(10, 1000)).astype(np.uint16)
+    stack[3, 7] = 65535
+    dst = tmp_path / "h.trpx"
+    enc = StreamingEncoder(dst, nvalues=1000, dtype=np.uint16,
+                           backend="host")
+    for lo in range(0, 10, 3):
+        enc.add_frames(stack[lo:lo + 3])
+    enc.finalize(verify=True, index=True)
+    arch = read_trpx(dst)
+    assert arch.to_bytes() == pycodec.encode(list(stack)).to_bytes()
+    out = pycodec.decode(arch, np.uint16)
+    np.testing.assert_array_equal(out, stack)
+
+
+def test_host_backend_resume(tmp_path):
+    rng = np.random.default_rng(7)
+    stack = rng.poisson(3.0, size=(9, 500)).astype(np.uint16)
+    dst = tmp_path / "r.trpx"
+    enc = StreamingEncoder(dst, nvalues=500, dtype=np.uint16,
+                           backend="host")
+    enc.add_frames(stack[:3])
+    enc.flush()
+    del enc  # simulate a crash after one checkpointed chunk
+    enc2 = StreamingEncoder(dst, nvalues=500, dtype=np.uint16,
+                            backend="host")
+    assert enc2.frames_done == 3
+    enc2.add_frames(stack[3:])
+    enc2.finalize(verify=True)
+    arch = read_trpx(dst)
+    assert arch.to_bytes() == pycodec.encode(list(stack)).to_bytes()
+
+
+def test_cli_stream_host(tmp_path):
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io import write_tiff
+
+    rng = np.random.default_rng(8)
+    stack = rng.poisson(3.0, size=(7, 48, 48)).astype(np.uint16)
+    src = tmp_path / "m.tif"
+    write_tiff(stack, src)
+    assert terse_main([str(src), "--stream", "--host",
+                       "--chunk-frames", "3"]) == 0
+    arch = read_trpx(tmp_path / "m.trpx")
+    assert arch.payload == pycodec.encode(
+        list(stack.reshape(7, -1))).payload
+
+
+def test_bad_backend_rejected(tmp_path):
+    with pytest.raises(ValueError, match="backend"):
+        StreamingEncoder(tmp_path / "x.trpx", nvalues=10,
+                         dtype=np.uint16, backend="gpu")

@@ -127,7 +127,8 @@ def _encode_streaming(src: Path, args) -> tuple[int, int]:
     dst = _out_path(src, ".trpx", args.out_dir)
     enc = StreamingEncoder(dst, nvalues=w * h,
                            dtype=ts.infos[0].dtype.newbyteorder("="),
-                           block=args.block, dimensions=(w, h))
+                           block=args.block, dimensions=(w, h),
+                           backend="host" if args.host else "device")
     start = enc.frames_done  # resume point if a manifest exists
     for lo in range(start, len(ts), args.chunk_frames):
         chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))

@@ -431,6 +431,11 @@ def write_tiff(images, dst=None) -> bytes | None:
             raise TiffError(f"unsupported dtype {img.dtype}")
         h, w = img.shape
         data_start = pos
+        if pos + img.nbytes + 4096 > 0xFFFFFFFF:
+            raise TiffError(
+                "classic TIFF caps at 4 GiB (32-bit offsets; the "
+                "reference reader/writer shares the limit) — split the "
+                "stack across files")
         le = np.ascontiguousarray(
             img.astype(img.dtype.newbyteorder("<"), copy=False))
         chunks.append(memoryview(le).cast("B"))

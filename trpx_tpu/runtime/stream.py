@@ -73,7 +73,14 @@ class StreamingEncoder:
         block: int = DEFAULT_BLOCK,
         dimensions: tuple[int, ...] = (),
         sync_every_chunk: bool = True,
+        backend: str = "device",
     ) -> None:
+        if backend not in ("device", "host"):
+            raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
+        #: 'host' encodes chunks with the native C++ codec (no JAX at
+        #: all — for CPU-only deployments and boxes whose accelerator
+        #: runtime must not be initialized); 'device' is the JAX path.
+        self.backend = backend
         self.path = Path(path)
         self.part = self.path.with_name(self.path.name + ".part")
         self.manifest_path = self.path.with_name(self.path.name + ".manifest")
@@ -140,21 +147,72 @@ class StreamingEncoder:
         :meth:`finalize`; resume via ``frames_done`` stays correct (the
         un-flushed chunk is simply re-encoded after a crash).
         """
-        from ..ops.coding import _best_encoder
-
-        run = _best_encoder()
         frames = np.asarray(frames)
         if frames.ndim == 3:
             frames = frames.reshape(frames.shape[0], -1)
         F, n = frames.shape
         if n != self.spec.n or frames.dtype != self.dtype:
             raise ValueError("chunk shape/dtype does not match the stream")
+        if self.backend == "host":
+            self._write_host_chunk(frames)
+            return
+        from ..ops.coding import _best_encoder
+
+        run = _best_encoder()
         padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
         padded[:, : self.spec.n] = frames
         out = run(self.spec, padded)  # async dispatch
         prev, self._pending = getattr(self, "_pending", None), (out, padded, F)
         if prev is not None:
             self._write_chunk(prev)
+
+    def _write_host_chunk(self, frames: np.ndarray) -> None:
+        """host backend: native C++ encode (OpenMP-parallel across the
+        chunk's frames), one contiguous payload append. Synchronous —
+        the native encoder already saturates the host cores, so there
+        is no device compute to overlap with."""
+        F = frames.shape[0]
+        try:
+            from .. import native
+
+            if not native.available():
+                raise RuntimeError
+            payload, fstarts, prolix = native.encode_frames(
+                frames, self.spec.block, self.dtype.kind == "i")
+            sizes = np.diff(fstarts)
+        except (RuntimeError, OSError):  # no compiler: spec-as-code path
+            from ..format import pycodec
+
+            from ..format.pycodec import walk_frame
+
+            arch = pycodec.encode(list(frames), block=self.spec.block)
+            payload = arch.payload
+            pos, sizes = 0, []
+            for _f in range(F):
+                _w, _o, nxt = walk_frame(payload, pos, self.spec.n,
+                                         self.spec.block)
+                sizes.append(nxt - pos)
+                pos = nxt
+            sizes = np.asarray(sizes)
+            prolix = arch.meta.prolix_bits
+        offs = self.m.payload_bytes + np.concatenate(
+            [[0], np.cumsum(sizes[:-1])]).astype("<u8")
+        with open(self.part, "r+b") as f:
+            f.seek(self.m.payload_bytes)
+            f.write(payload)
+            if self.sync_every_chunk:
+                f.flush()
+                os.fsync(f.fileno())
+        with open(self.part_idx, "r+b") as f:
+            f.seek(8 * self.m.frames_done)
+            f.write(offs.astype("<u8").tobytes())
+            if self.sync_every_chunk:
+                f.flush()
+                os.fsync(f.fileno())
+        self.m.payload_bytes += int(sizes.sum())
+        self.m.frames_done += F
+        self.m.prolix_bits = max(self.m.prolix_bits, int(prolix))
+        self.m.save(self.manifest_path)
 
     def flush(self) -> None:
         """Drain the in-flight chunk and checkpoint it."""
