@@ -67,3 +67,46 @@ def test_bad_backend_rejected(tmp_path):
     with pytest.raises(ValueError, match="backend"):
         StreamingEncoder(tmp_path / "x.trpx", nvalues=10,
                          dtype=np.uint16, backend="gpu")
+
+
+def test_tiff_writer_byte_identical():
+    """Incremental TiffWriter output equals write_tiff of the stack."""
+    import io
+
+    from trpx_tpu.io import write_tiff
+    from trpx_tpu.io.tiff import TiffWriter
+
+    rng = np.random.default_rng(12)
+    stack = rng.poisson(3.0, size=(7, 33, 41)).astype(np.uint16)
+    whole = write_tiff(stack)
+    buf = io.BytesIO()
+    with TiffWriter(buf) as w:
+        w.append(stack[:3])
+        w.append(stack[3])
+        w.append(stack[4:])
+    assert buf.getvalue() == whole
+
+
+def test_cli_stream_decode(tmp_path):
+    from trpx_tpu.cli.main import prolix_main, terse_main
+    from trpx_tpu.io import read_tiff, write_tiff
+
+    rng = np.random.default_rng(13)
+    stack = rng.poisson(3.0, size=(9, 40, 40)).astype(np.uint16)
+    write_tiff(stack, tmp_path / "m.tif")
+    assert terse_main([str(tmp_path / "m.tif"), "--host"]) == 0
+    out = tmp_path / "o"
+    assert prolix_main([str(tmp_path / "m.trpx"), "--host", "--stream",
+                        "--chunk-frames", "4", "--out-dir", str(out)]) == 0
+    back = read_tiff(out / "m.tif")
+    arrs = (np.stack([np.asarray(i) for i in back])
+            if isinstance(back, list) else np.asarray(back))
+    np.testing.assert_array_equal(arrs.reshape(stack.shape), stack)
+    # streamed + frame-range selection compose
+    assert prolix_main([str(tmp_path / "m.trpx"), "--host", "--stream",
+                        "--frames", "2:7", "--chunk-frames", "2",
+                        "--out-dir", str(tmp_path / "o2")]) == 0
+    back = read_tiff(tmp_path / "o2" / "m.tif")
+    arrs = (np.stack([np.asarray(i) for i in back])
+            if isinstance(back, list) else np.asarray(back))
+    np.testing.assert_array_equal(arrs.reshape(5, 40, 40), stack[2:7])

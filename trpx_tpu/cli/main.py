@@ -233,6 +233,37 @@ def _parse_frames(spec: str):
     return int(spec)
 
 
+def _decode_streaming(src: Path, args, sel) -> None:
+    """--stream decode: chunked frame-range decode -> incremental TIFF
+    writer; memory stays O(chunk) on the pixel side (the compressed
+    payload is held in memory — ~5x smaller than the output)."""
+    from ..io.tiff import TiffWriter
+    from ..io.trpx import subset_frames
+
+    archive = read_trpx(src)
+    if sel is not None:
+        archive = subset_frames(archive, sel)
+    meta = archive.meta
+    if len(meta.dimensions) >= 2:
+        w, h = meta.dimensions[0], meta.dimensions[1]
+    else:
+        w = h = int(math.isqrt(meta.number_of_values))
+    device = False if args.host else None
+    F = meta.number_of_frames
+    dst = _out_path(src, ".tif", args.out_dir)
+    tmp = dst.with_name(dst.name + ".tmp")
+    with open(tmp, "wb") as f:
+        wtr = TiffWriter(f)
+        for lo in range(0, F, args.chunk_frames):
+            hi = min(F, lo + args.chunk_frames)
+            pix = api.decompress(archive, device=device,
+                                 frames=slice(lo, hi))
+            wtr.append(np.asarray(pix).reshape(hi - lo, h, w))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, dst)
+
+
 def _decode_files(args) -> int:
     user_time = io_time = 0.0
     n_done = 0
@@ -246,6 +277,15 @@ def _decode_files(args) -> int:
         if not (src.is_file() and src.suffix == ".trpx"):
             continue
         try:
+            if args.stream:
+                t0 = time.perf_counter()
+                _decode_streaming(src, args, sel)
+                user_time += time.perf_counter() - t0
+                if args.delete_inputs:
+                    print(f"Deleting trpx file: {src}")
+                    src.unlink()
+                n_done += 1
+                continue
             t0 = time.perf_counter()
             archive = read_trpx(src)
             t1 = time.perf_counter()

@@ -476,3 +476,86 @@ def write_tiff(images, dst=None) -> bytes | None:
         for c in chunks:
             dst.write(c)
     return None
+
+
+class TiffWriter:
+    """Incremental greyscale-TIFF writer: append frames as they arrive.
+
+    Produces byte-identical output to :func:`write_tiff` of the full
+    stack (data-first, per-image chained IFDs), but with O(chunk)
+    memory — the streaming-decode counterpart of :class:`TiffStream`.
+    Requires a seekable destination (the previous image's next-IFD
+    pointer is patched in place).
+    """
+
+    def __init__(self, dst) -> None:
+        self._own = isinstance(dst, (str, os.PathLike))
+        self.f = open(dst, "wb") if self._own else dst
+        self.f.write(b"II" + struct.pack("<HI", 42, 0))
+        self._patch_at = 4  # file offset of the pointer to the next IFD
+        self._pos = 8
+
+    def append(self, frames: np.ndarray) -> None:
+        """Append one 2-D image or an (F, h, w) stack."""
+        frames = np.asarray(frames)
+        if frames.ndim == 2:
+            frames = frames[None]
+        if frames.ndim != 3:
+            raise TiffError("append() takes a 2-D image or (F, h, w) stack")
+        for img in frames:
+            img = np.ascontiguousarray(img)
+            if img.dtype.kind not in _SAMPLE_FORMAT:
+                raise TiffError(f"unsupported dtype {img.dtype}")
+            bits = img.dtype.itemsize * 8
+            fmt = _SAMPLE_FORMAT[img.dtype.kind]
+            if (bits, fmt) not in _DTYPES:
+                raise TiffError(f"unsupported dtype {img.dtype}")
+            h, w = img.shape
+            if self._pos + img.nbytes + 4096 > 0xFFFFFFFF:
+                raise TiffError(
+                    "classic TIFF caps at 4 GiB (32-bit offsets; the "
+                    "reference reader/writer shares the limit) — split "
+                    "the stack across files")
+            data_start = self._pos
+            le = np.ascontiguousarray(
+                img.astype(img.dtype.newbyteorder("<"), copy=False))
+            self.f.write(memoryview(le).cast("B"))
+            self._pos += img.nbytes
+            ifd = bytearray()
+            if self._pos & 1:
+                ifd += b"\x00"
+                self._pos += 1
+            ifd_at = self._pos
+            entries = [
+                _ifd_entry(0x0100, 3 if w < 65536 else 4, w),
+                _ifd_entry(0x0101, 3 if h < 65536 else 4, h),
+                _ifd_entry(0x0102, 3, bits),
+                _ifd_entry(0x0103, 3, 1),
+                _ifd_entry(0x0106, 3, 1),
+                _ifd_entry(0x0111, 4, data_start),
+                _ifd_entry(0x0117, 4, h * w * (bits // 8)),
+                _ifd_entry(0x0153, 3, fmt),
+            ]
+            ifd += struct.pack("<H", len(entries))
+            for e in entries:
+                ifd += e
+            pad = 1 if ifd[:1] == b"\x00" else 0
+            next_ptr_at = ifd_at + len(ifd) - pad  # next-IFD u32 position
+            ifd += struct.pack("<I", 0)
+            self.f.write(ifd)
+            end = self.f.tell()
+            self.f.seek(self._patch_at)
+            self.f.write(struct.pack("<I", ifd_at))
+            self.f.seek(end)
+            self._patch_at = next_ptr_at
+            self._pos = end
+
+    def close(self) -> None:
+        if self._own:
+            self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
