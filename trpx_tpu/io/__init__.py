@@ -4,6 +4,7 @@ from .tiff import (
     TiffError,
     TiffStack,
     TiffStream,
+    TiffWriter,
     read_tiff,
     write_tiff,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "TiffError",
     "TiffStack",
     "TiffStream",
+    "TiffWriter",
     "read_tiff",
     "write_tiff",
     "frame_offsets",
