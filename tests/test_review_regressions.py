@@ -117,3 +117,97 @@ def test_iter_decode_passes_schedule_as_ratio(monkeypatch, tmp_path):
     assert seen, "decoder was never called"
     for poffs, ratio in seen:
         assert poffs is None
+
+
+def test_hostile_sidecar_overclaiming_widths_rejected(tmp_path):
+    """A hostile archive whose lone header claims a huge width walks
+    'successfully' from a sidecar offset unless the indexed walk checks
+    the end-of-payload bound like the serial walk does; without it the
+    native decode reads megabytes past the buffer."""
+    from trpx_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from trpx_tpu.format.bitstream import BitWriter as PyWriter
+
+    n = 1_000_000
+    # header: 0 + 111 + 11 + (57-10=47 as 6 bits) -> width 57, then no
+    # payload bytes at all
+    w = PyWriter()
+    w.write(0, 1); w.write(7, 3); w.write(3, 2); w.write(47, 6)
+    payload = w.getvalue() + b"\x00" * 14
+    hdr = (f'<Terse prolix_bits="57" signed="0" block="{n}" '
+           f'memory_size="{len(payload)}" number_of_values="{n}" '
+           f'number_of_frames="1"/>').encode()
+    blob = hdr + payload
+    from trpx_tpu.io.trpx import TrpxArchive, write_index
+
+    p = tmp_path / "h.trpx"
+    p.write_bytes(blob)
+    write_index(p, np.array([0], np.uint64), len(payload))
+    from trpx_tpu.io.trpx import read_trpx
+    from trpx_tpu.native import codec as ncodec
+
+    arch = read_trpx(p)
+    with pytest.raises(ValueError):
+        ncodec.decode(arch, np.uint64)
+
+
+def test_nonnative_endian_encode_normalized():
+    """Big-endian input must encode identically to its native-endian
+    values (the encoder invariant is bit-identity on VALUES)."""
+    from trpx_tpu.native import codec as ncodec
+
+    vals = np.arange(16, dtype=np.uint16)
+    a_native = ncodec.encode(vals[None])
+    a_be = ncodec.encode(vals.astype(">u2")[None])
+    assert a_be.to_bytes() == a_native.to_bytes()
+    out = ncodec.decode(a_native, ">u2")
+    np.testing.assert_array_equal(out.astype(np.uint16).reshape(-1), vals)
+
+
+def test_subset_frames_does_not_bypass_width_check(tmp_path):
+    """frames=... decode of a corrupt archive must reject like the full
+    decode (the cached-offsets walk validates width-over-claim too)."""
+    rng = np.random.default_rng(14)
+    stack = rng.poisson(3.0, size=(3, 600)).astype(np.uint16)
+    stack[1, 0] = 65535
+    from trpx_tpu.io.trpx import TrpxArchive
+
+    blob = pycodec.encode(list(stack)).to_bytes()
+    tampered = blob.replace(b'prolix_bits="16"', b'prolix_bits="11"')
+    assert tampered != blob
+    arch = TrpxArchive.from_bytes(tampered)
+    with pytest.raises(ValueError, match="prolix_bits"):
+        api.decompress(arch, frames=[0], device=True)
+
+
+def test_host_chunk_empty_frames_noop(tmp_path):
+    from trpx_tpu.io.trpx import read_trpx
+    from trpx_tpu.runtime.stream import StreamingEncoder
+
+    rng = np.random.default_rng(15)
+    stack = rng.poisson(3.0, size=(4, 200)).astype(np.uint16)
+    dst = tmp_path / "e.trpx"
+    enc = StreamingEncoder(dst, nvalues=200, dtype=np.uint16,
+                           backend="host")
+    enc.add_frames(stack[:2])
+    enc.add_frames(stack[:0])  # empty chunk: must be a no-op
+    enc.add_frames(stack[2:])
+    enc.finalize(verify=True, index=True)
+    arch = read_trpx(dst)
+    assert arch.frame_index is not None  # sidecar consistent, not stale
+    assert arch.to_bytes() == pycodec.encode(list(stack)).to_bytes()
+
+
+def test_cli_bad_frames_spec_clean_error(tmp_path, capsys):
+    from trpx_tpu.cli.main import prolix_main
+
+    rng = np.random.default_rng(16)
+    from trpx_tpu.io.trpx import write_trpx
+
+    arch = pycodec.encode([rng.poisson(3.0, 100).astype(np.uint16)])
+    p = tmp_path / "c.trpx"
+    write_trpx(arch, p)
+    assert prolix_main([str(p), "--frames", "1:2:3:4", "--host"]) == 2
+    assert prolix_main([str(p), "--frames", "abc", "--host"]) == 2

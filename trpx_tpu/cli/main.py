@@ -267,8 +267,12 @@ def _decode_streaming(src: Path, args, sel) -> None:
 def _decode_files(args) -> int:
     user_time = io_time = 0.0
     n_done = 0
-    sel = (_parse_frames(args.frames)
-           if getattr(args, "frames", None) else None)
+    try:
+        sel = (_parse_frames(args.frames)
+               if getattr(args, "frames", None) else None)
+    except ValueError as e:
+        print(f"error: bad --frames spec: {e}", file=sys.stderr)
+        return 2
     device = False if args.host else None
     if not args.host:
         _configure_jax()

@@ -8,7 +8,7 @@ from .tiff import (
     read_tiff,
     write_tiff,
 )
-from .trpx import frame_offsets, read_trpx, subset_frames, write_trpx
+from .trpx import cached_frame_offsets, read_trpx, subset_frames, write_trpx
 
 __all__ = [
     "TiffError",
@@ -17,7 +17,7 @@ __all__ = [
     "TiffWriter",
     "read_tiff",
     "write_tiff",
-    "frame_offsets",
+    "cached_frame_offsets",
     "read_trpx",
     "subset_frames",
     "write_trpx",

@@ -184,11 +184,13 @@ def _compute_offsets(archive: TrpxArchive):
                 widths, _ = native.walk_indexed(
                     archive.payload, offs, meta.number_of_values,
                     meta.block, want_poffs=False,
+                    max_width=meta.prolix_bits,
                 )
             else:
                 widths, _, fstarts = native.walk(
                     archive.payload, meta.number_of_frames,
                     meta.number_of_values, meta.block, want_poffs=False,
+                    max_width=meta.prolix_bits,
                 )
                 offs = fstarts[:-1]
             return offs, widths.astype(np.uint8)
@@ -205,13 +207,18 @@ def _compute_offsets(archive: TrpxArchive):
         w, _o, pos = walk_frame(archive.payload, pos,
                                 meta.number_of_values, meta.block)
         widths[f] = w
+    if widths.size and int(widths.max()) > meta.prolix_bits:
+        raise ValueError(
+            f"corrupt TRPX payload: block width {int(widths.max())} "
+            f"exceeds the header's prolix_bits={meta.prolix_bits}")
     return offs, widths
 
 
-def frame_offsets(archive: TrpxArchive) -> np.ndarray:
-    """(F,) int64 byte offset of every frame, computed once and cached
+def cached_frame_offsets(archive: TrpxArchive) -> np.ndarray:
+    """(F,) int64 byte offset of every frame, computed once and CACHED
     on the archive (with the width tables, so a later decode's prepass
-    is walk-free)."""
+    is walk-free). Distinct from format.pycodec.frame_offsets, the
+    pure-Python uncached walk."""
     offs = getattr(archive, "frame_index", None)
     if offs is None:
         offs, wt = _compute_offsets(archive)
@@ -247,7 +254,7 @@ def subset_frames(archive: TrpxArchive, frames) -> TrpxArchive:
         raise IndexError(f"frame selection out of range [0, {F})")
     if idx.size == F and np.array_equal(idx, np.arange(F)):
         return archive
-    offs = frame_offsets(archive)
+    offs = cached_frame_offsets(archive)
     ends = np.concatenate([offs[1:], [meta.memory_size]])
     sizes = (ends - offs)[idx]
     starts_new = np.concatenate([[0], np.cumsum(sizes[:-1])])

@@ -273,9 +273,12 @@ def encode_frames(frames: np.ndarray, block: int, signed: bool):
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    frames = np.ascontiguousarray(frames)
     if frames.dtype.kind not in "iu":
         raise TypeError(f"integral frames required, got {frames.dtype}")
+    # the C templates read native-endian elements; normalize byte order
+    # (no copy for native input)
+    frames = np.ascontiguousarray(
+        frames, dtype=frames.dtype.newbyteorder("="))
     F, n = frames.shape
     nb = -(-n // block)
     itemsize = frames.dtype.itemsize
@@ -314,6 +317,7 @@ def decode_frames(
     if lib is None:
         raise RuntimeError("native library unavailable")
     dtype = np.dtype(target_dtype)
+    out_dtype = dtype.newbyteorder("=")  # C stores native-endian
     if fstarts is not None and len(fstarts) == nframes:
         # known frame offsets (encoder archives / validated sidecar):
         # the header walk parallelizes across frames (OpenMP) instead of
@@ -329,11 +333,11 @@ def decode_frames(
         signed, bits = 1, 8 * dtype.itemsize
         info = np.iinfo(dtype)
         cmin, cmax = int(info.min), int(info.max)
-        out = np.empty((nframes, nvalues), dtype=dtype)
+        out = np.empty((nframes, nvalues), dtype=out_dtype)
     elif dtype.kind == "u":
         signed, bits = 0, 8 * dtype.itemsize
         cmin, cmax = 0, int(np.iinfo(dtype).max)
-        out = np.empty((nframes, nvalues), dtype=dtype)
+        out = np.empty((nframes, nvalues), dtype=out_dtype)
     else:  # float target: int64/uint64 semantics, no clamp (Terse.hpp:379-383)
         signed, bits, cmin, cmax = (1 if stream_signed else 0), 64, 0, 0
         out = np.empty((nframes, nvalues), dtype=np.int64)
@@ -348,10 +352,8 @@ def decode_frames(
     )
     if rc != 0:
         raise ValueError("malformed TRPX payload")
-    if dtype == np.uint64:
-        return out.view(np.uint64)
     if dtype.kind == "f":
         if not stream_signed:
             return out.view(np.uint64).astype(dtype)
         return out.astype(dtype)
-    return out
+    return out.astype(dtype, copy=False)  # byte-swap iff target non-native

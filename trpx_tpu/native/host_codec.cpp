@@ -247,13 +247,24 @@ int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
     int wmax = 0;
 #pragma omp parallel for schedule(static) reduction(|:bad) reduction(max:wmax)
     for (int64_t f = 0; f < nframes; ++f) {
+        if (fstarts[f] < 0 || fstarts[f] >= payload_len) { bad |= 1; continue; }
         uint64_t pos = (uint64_t)fstarts[f] * 8;
         int width = 0;
         if (!walk_blocks(payload, (uint64_t)payload_len, pos, width, wmax,
                          nblocks, nvalues, block,
                          widths + f * nblocks,
-                         poffs ? poffs + f * nblocks : nullptr))
+                         poffs ? poffs + f * nblocks : nullptr)) {
             bad |= 1;
+        } else {
+            // the serial walk rejects frames whose fields run past the
+            // payload (start_byte > payload_len); hostile sidecars must
+            // not bypass that here — a single huge-width header can
+            // otherwise claim megabytes past the buffer (OOB reads in
+            // the decode loads)
+            int64_t end_byte = fstarts[f]
+                + 1 + (int64_t)((pos - (uint64_t)fstarts[f] * 8) >> 3);
+            if (end_byte > payload_len) bad |= 1;
+        }
     }
     return bad ? -1 : wmax;
 }

@@ -172,6 +172,8 @@ class StreamingEncoder:
         the native encoder already saturates the host cores, so there
         is no device compute to overlap with."""
         F = frames.shape[0]
+        if F == 0:
+            return
         try:
             from .. import native
 
