@@ -177,3 +177,40 @@ def test_multi_byte_corruption_bursts(seed):
         blob[start:start + ln] = rng.integers(
             0, 256, size=ln, dtype=np.uint8).tobytes()
         _try_decode_all(bytes(blob))
+
+
+def test_sidecar_fuzz(tmp_path):
+    """Random mutations of the .trpx.idx sidecar: decode must either
+    reject the sidecar (and fall back to the validating walk, producing
+    exact pixels) or raise cleanly — never crash or return wrong pixels
+    silently UNLESS the mutation hit only width bytes that still pass
+    the structural checks (widths are data, not addresses; address
+    corruption is what must never escape)."""
+    from trpx_tpu.io.trpx import read_trpx, write_trpx
+
+    rng = np.random.default_rng(77)
+    stack = rng.poisson(3.0, size=(6, 500)).astype(np.uint16)
+    arch = pycodec.encode(list(stack))
+    p = tmp_path / "f.trpx"
+    write_trpx(arch, p, index=True)
+    idx = (tmp_path / "f.trpx.idx").read_bytes()
+    for trial in range(60):
+        blob = bytearray(idx)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(blob)))
+            blob[i] ^= int(rng.integers(1, 256))
+        (tmp_path / "f.trpx.idx").write_bytes(bytes(blob))
+        try:
+            out = api.decompress(read_trpx(p), device=False)
+        except OK_ERRORS:
+            continue
+        out = np.asarray(out).reshape(6, -1)[:, :500]
+        # offsets feed the gather; if they were corrupted the loader
+        # must have rejected the sidecar, so pixels can only be exact —
+        # except when ONLY the v2 width bytes changed (pure data)
+        widths_region = len(idx) - 6 * (-(-500 // 12))
+        if not np.array_equal(out, stack):
+            assert all(
+                i >= widths_region
+                for i in range(len(idx)) if blob[i] != idx[i]
+            ), "address corruption escaped into wrong pixels"
