@@ -220,3 +220,90 @@ def test_cli_encodes_mixed_dtype_stack(tmp_path):
     out = api.decompress(arch, device=False)
     np.testing.assert_array_equal(out[0], a.astype(np.uint16).reshape(8, 8))
     np.testing.assert_array_equal(out[1], b)
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (magic 43, 64-bit offsets) — framework extension past the
+# reference's classic-TIFF envelope (Grey_tif.hpp uses uint32 offsets
+# throughout, sharing the 4 GiB cap)
+# ---------------------------------------------------------------------------
+
+
+def test_bigtiff_roundtrip_and_writer_identity(tmp_path):
+    from trpx_tpu.io.tiff import TiffStream, TiffWriter
+
+    rng = np.random.default_rng(7)
+    imgs = [_rand(np.uint16, (9, 13), rng), _rand(np.uint16, (9, 13), rng),
+            _rand(np.int32, (9, 13), rng)]
+    data = write_tiff(imgs, bigtiff=True)
+    assert data[:4] == b"II\x2b\x00"  # magic 43
+    assert struct.unpack("<HQ", data[4:14])[0] == 8  # 8-byte offsets
+    stack = read_tiff(data)
+    assert len(stack) == 3
+    for got, want in zip(stack, imgs):
+        np.testing.assert_array_equal(got, want)
+
+    # incremental writer produces byte-identical BigTIFF
+    buf = io.BytesIO()
+    with TiffWriter(buf, bigtiff=True) as w:
+        for im in imgs:
+            w.append(im)
+    assert buf.getvalue() == data
+
+    # streaming reader parses the same file
+    p = tmp_path / "big.tif"
+    p.write_bytes(data)
+    ts = TiffStream(p)
+    assert len(ts) == 3
+    np.testing.assert_array_equal(ts.read(1, 2)[0], imgs[1])
+    ts.close()
+
+
+def test_bigtiff_auto_keeps_small_files_classic():
+    img = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    auto = write_tiff(img)                      # default bigtiff="auto"
+    classic = write_tiff(img, bigtiff=False)
+    assert auto == classic and auto[2:4] == b"\x2a\x00"  # magic 42
+
+
+def test_bigtiff_rejects_bad_headers():
+    with pytest.raises(TiffError, match="truncated BigTIFF"):
+        read_tiff(b"II\x2b\x00\x00\x00\x00\x00")
+    # offset size must be 8
+    bad = b"II" + struct.pack("<HHHQ", 43, 4, 0, 16) + b"\x00" * 8
+    with pytest.raises(TiffError, match="offset size"):
+        read_tiff(bad)
+
+
+def test_bigtiff_pixels_beyond_4gib_sparse(tmp_path):
+    """64-bit offsets for real: a sparse file places pixels past 4 GiB;
+    both readers must address them correctly (classic u32 offsets cannot
+    represent this file at all)."""
+    from trpx_tpu.io.tiff import TiffStream, _ifd_entry_big
+
+    img = np.arange(32, dtype=np.uint16).reshape(4, 8)
+    data_at = (1 << 32) + 4096          # past the classic cap
+    p = tmp_path / "sparse_big.tif"
+    with open(p, "wb") as f:
+        ifd_at = data_at + img.nbytes
+        f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_at))
+        f.seek(data_at)
+        f.write(img.astype("<u2").tobytes())
+        entries = [
+            _ifd_entry_big(0x0100, 3, 8),
+            _ifd_entry_big(0x0101, 3, 4),
+            _ifd_entry_big(0x0102, 3, 16),
+            _ifd_entry_big(0x0103, 3, 1),
+            _ifd_entry_big(0x0106, 3, 1),
+            _ifd_entry_big(0x0111, 16, data_at),
+            _ifd_entry_big(0x0117, 16, img.nbytes),
+            _ifd_entry_big(0x0153, 3, 1),
+        ]
+        f.write(struct.pack("<Q", len(entries)))
+        for e in entries:
+            f.write(e)
+        f.write(struct.pack("<Q", 0))
+    ts = TiffStream(p)                   # memory-mapped: sparse-friendly
+    assert ts.infos[0].offset == data_at
+    np.testing.assert_array_equal(ts.read(0, 1)[0], img)
+    ts.close()

@@ -252,8 +252,12 @@ def _decode_streaming(src: Path, args, sel) -> None:
     F = meta.number_of_frames
     dst = _out_path(src, ".tif", args.out_dir)
     tmp = dst.with_name(dst.name + ".tmp")
+    # decoded size is known up front from the archive metadata; switch to
+    # BigTIFF (64-bit offsets) when classic TIFF's 4 GiB cap would trip
+    itemsize = api.output_dtype(meta).itemsize
+    expected = F * meta.number_of_values * itemsize + 256 * F + 16
     with open(tmp, "wb") as f:
-        wtr = TiffWriter(f)
+        wtr = TiffWriter(f, bigtiff=expected > 0xFFFFFFFF)
         for lo in range(0, F, args.chunk_frames):
             hi = min(F, lo + args.chunk_frames)
             pix = api.decompress(archive, device=device,

@@ -31,6 +31,15 @@ path anyway.)
 Array convention: each image is a 2-D numpy array of shape
 ``(height, width)`` = (tag 0x0101, tag 0x0100), row-major — matching the
 TIFF strip layout directly.
+
+Beyond the reference envelope: **BigTIFF** (magic 43, 64-bit offsets,
+20-byte IFD entries, LONG8 fields) is read transparently and written on
+demand (``write_tiff(..., bigtiff=True)`` / ``TiffWriter(...,
+bigtiff=True)``; the default ``bigtiff="auto"`` of ``write_tiff``
+switches only when the file would exceed classic TIFF's 4 GiB offset
+cap — a limit the reference reader/writer shares, Grey_tif.hpp uses
+uint32 offsets throughout). This lifts the single-file ceiling for
+10k+-frame movie stacks; classic output stays byte-identical.
 """
 
 from __future__ import annotations
@@ -57,9 +66,12 @@ _DTYPES: dict[tuple[int, int], np.dtype] = {
 
 _SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
 
-# IFD field types and their byte sizes (TIFF 6.0); the subset the reference
-# emits/reads: 1=BYTE, 3=SHORT, 4=LONG (Grey_tif.hpp:829-840, :743-750)
-_FIELD_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4}
+# IFD field types and their byte sizes (TIFF 6.0 + BigTIFF); the classic
+# subset the reference emits/reads: 1=BYTE, 3=SHORT, 4=LONG
+# (Grey_tif.hpp:829-840, :743-750); 16=LONG8/17=SLONG8/18=IFD8 are BigTIFF
+_FIELD_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 16: 8, 17: 8, 18: 8}
+
+_VAL_DTYPE = {1: "u1", 2: "u2", 4: "u4", 8: "u8"}  # field size -> numpy kind
 
 
 class TiffError(ValueError):
@@ -139,45 +151,12 @@ class TiffStack:
         return self
 
 
-def _read_val(data: bytes, fmt_u16: str, fmt_u32: str, entry: bytes,
-              base: memoryview):
-    """Decode one 12-byte IFD entry -> (tag, list-of-values)."""
-    tag, ftype = struct.unpack(fmt_u16 + fmt_u16[-1], entry[0:4])
-    (count,) = struct.unpack(fmt_u32, entry[4:8])
-    if ftype not in _FIELD_SIZE:
-        return tag, None  # unknown field type: ignore the tag
-    fsize = _FIELD_SIZE[ftype]
-    nbytes = fsize * count
-    if nbytes <= 4:
-        raw = entry[8 : 8 + nbytes]
-    else:
-        (off,) = struct.unpack(fmt_u32, entry[8:12])
-        if off + nbytes > len(base):
-            raise TiffError("IFD value offset out of bounds")
-        raw = bytes(base[off : off + nbytes])
-    if fsize == 1:
-        vals = list(raw)
-    elif fsize == 2:
-        vals = list(struct.unpack(fmt_u16[0] + "H" * count, raw))
-    else:
-        vals = list(struct.unpack(fmt_u32[0] + "I" * count, raw))
-    return tag, vals
+def _parse_tiff_header(data: bytes):
+    """Parse the 8-byte classic / 16-byte BigTIFF header.
 
-
-def read_tiff(src) -> TiffStack:
-    """Parse a greyscale TIFF (bytes, path, or file object) into a TiffStack.
-
-    Mirrors Grey_tif's reader: IFD chain walk, tag validation, strip
-    contiguity check, and endian normalization of pixel data
-    (Grey_tif.hpp:675-827).
+    Returns ``(end, big, first_ifd_offset)`` where ``end`` is the struct
+    byte-order char and ``big`` selects the 64-bit IFD layout.
     """
-    if isinstance(src, (str, os.PathLike)):
-        with open(src, "rb") as f:
-            data = f.read()
-    elif isinstance(src, (bytes, bytearray, memoryview)):
-        data = bytes(src)
-    else:
-        data = src.read()
     if len(data) < 8:
         raise TiffError("not a TIFF: file shorter than header")
     if data[0:2] == b"II":
@@ -186,33 +165,93 @@ def read_tiff(src) -> TiffStack:
         end = ">"
     else:
         raise TiffError("not a TIFF: bad byte-order mark")
-    u16, u32 = end + "H", end + "I"
-    (magic,) = struct.unpack(u16, data[2:4])
-    if magic != 42:
-        raise TiffError("not a TIFF: magic != 42")
-    (ifd_off,) = struct.unpack(u32, data[4:8])
+    (magic,) = struct.unpack(end + "H", data[2:4])
+    if magic == 42:
+        (ifd_off,) = struct.unpack(end + "I", data[4:8])
+        return end, False, ifd_off
+    if magic == 43:  # BigTIFF
+        if len(data) < 16:
+            raise TiffError("truncated BigTIFF header")
+        offsize, reserved = struct.unpack(end + "HH", data[4:8])
+        if offsize != 8 or reserved != 0:
+            raise TiffError("bad BigTIFF header (offset size must be 8)")
+        (ifd_off,) = struct.unpack(end + "Q", data[8:16])
+        return end, True, ifd_off
+    raise TiffError("not a TIFF: magic != 42/43")
 
-    base = memoryview(data)
-    stack = TiffStack()
+
+def _read_val(end: str, entry: bytes, base: memoryview, big: bool):
+    """Decode one IFD entry (12 bytes classic / 20 bytes BigTIFF) ->
+    (tag, list-of-values)."""
+    tag, ftype = struct.unpack(end + "HH", entry[0:4])
+    if big:
+        (count,) = struct.unpack(end + "Q", entry[4:12])
+        inline, cap = entry[12:20], 8
+    else:
+        (count,) = struct.unpack(end + "I", entry[4:8])
+        inline, cap = entry[8:12], 4
+    if ftype not in _FIELD_SIZE:
+        return tag, None  # unknown field type: ignore the tag
+    fsize = _FIELD_SIZE[ftype]
+    nbytes = fsize * count
+    if nbytes <= cap:
+        raw = inline[:nbytes]
+    else:
+        (off,) = struct.unpack(end + ("Q" if big else "I"), inline[: cap])
+        if off + nbytes > len(base):
+            raise TiffError("IFD value offset out of bounds")
+        raw = bytes(base[off : off + nbytes])
+    return tag, np.frombuffer(raw, dtype=end + _VAL_DTYPE[fsize]).tolist()
+
+
+def _walk_ifds(base: memoryview, end: str, big: bool, ifd_off: int):
+    """Walk the IFD chain (classic or BigTIFF layout), yielding one tag
+    dict per image; validates cycles, bounds, and truncation."""
+    n = len(base)
+    esize, csize, psize = (20, 8, 8) if big else (12, 2, 4)
+    cfmt = end + ("Q" if big else "H")   # entry-count field
+    pfmt = end + ("Q" if big else "I")   # next-IFD pointer
     seen = set()
     while ifd_off:
         if ifd_off in seen:
             raise TiffError("cyclic IFD chain")
         seen.add(ifd_off)
-        if ifd_off + 2 > len(data):
+        if ifd_off + csize > n:
             raise TiffError("IFD offset out of bounds")
-        (n_entries,) = struct.unpack(u16, data[ifd_off : ifd_off + 2])
-        tags: dict[int, list[int]] = {}
-        pos = ifd_off + 2
-        if pos + 12 * n_entries + 4 > len(data):
+        (n_entries,) = struct.unpack(
+            cfmt, bytes(base[ifd_off : ifd_off + csize]))
+        pos = ifd_off + csize
+        if pos + esize * n_entries + psize > n:
             raise TiffError("truncated IFD")
+        tags: dict[int, list[int]] = {}
         for _ in range(n_entries):
-            tag, vals = _read_val(data, u16, u32, data[pos : pos + 12], base)
+            tag, vals = _read_val(end, bytes(base[pos : pos + esize]),
+                                  base, big)
             if vals is not None:
                 tags[tag] = vals
-            pos += 12
-        (ifd_off,) = struct.unpack(u32, data[pos : pos + 4])
+            pos += esize
+        (ifd_off,) = struct.unpack(pfmt, bytes(base[pos : pos + psize]))
+        yield tags
 
+
+def read_tiff(src) -> TiffStack:
+    """Parse a greyscale TIFF (bytes, path, or file object) into a TiffStack.
+
+    Mirrors Grey_tif's reader: IFD chain walk, tag validation, strip
+    contiguity check, and endian normalization of pixel data
+    (Grey_tif.hpp:675-827); additionally accepts BigTIFF (magic 43).
+    """
+    if isinstance(src, (str, os.PathLike)):
+        with open(src, "rb") as f:
+            data = f.read()
+    elif isinstance(src, (bytes, bytearray, memoryview)):
+        data = bytes(src)
+    else:
+        data = src.read()
+    end, big, ifd_off = _parse_tiff_header(data)
+    base = memoryview(data)
+    stack = TiffStack()
+    for tags in _walk_ifds(base, end, big, ifd_off):
         stack.images.append(_make_image(base, end, tags))
     if not stack.images:
         raise TiffError("TIFF contains no images")
@@ -297,45 +336,11 @@ class TiffStream:
     def __init__(self, path):
         self.path = path
         self._mm = np.memmap(path, dtype=np.uint8, mode="r")
-        data = self._mm[: 8].tobytes()
-        if len(data) < 8:
-            raise TiffError("not a TIFF: file shorter than header")
-        if data[0:2] == b"II":
-            end = "<"
-        elif data[0:2] == b"MM":
-            end = ">"
-        else:
-            raise TiffError("not a TIFF: bad byte-order mark")
-        u16, u32 = end + "H", end + "I"
-        (magic,) = struct.unpack(u16, data[2:4])
-        if magic != 42:
-            raise TiffError("not a TIFF: magic != 42")
-        (ifd_off,) = struct.unpack(u32, data[4:8])
+        end, big, ifd_off = _parse_tiff_header(self._mm[:16].tobytes())
         base = memoryview(self._mm)
         self.infos: list[TiffFrameInfo] = []
-        seen = set()
-        n = len(self._mm)
-        while ifd_off:
-            if ifd_off in seen or ifd_off + 2 > n:
-                raise TiffError("bad IFD chain")
-            seen.add(ifd_off)
-            (n_entries,) = struct.unpack(
-                u16, bytes(base[ifd_off : ifd_off + 2])
-            )
-            tags: dict[int, list[int]] = {}
-            pos = ifd_off + 2
-            if pos + 12 * n_entries + 4 > n:
-                raise TiffError("truncated IFD")
-            for _ in range(n_entries):
-                tag, vals = _read_val(
-                    None, u16, u32, bytes(base[pos : pos + 12]), base
-                )
-                if vals is not None:
-                    tags[tag] = vals
-                pos += 12
-            (ifd_off,) = struct.unpack(u32, bytes(base[pos : pos + 4]))
-            img = _make_image(base, end, tags, lazy=True)
-            self.infos.append(img)
+        for tags in _walk_ifds(base, end, big, ifd_off):
+            self.infos.append(_make_image(base, end, tags, lazy=True))
         if not self.infos:
             raise TiffError("TIFF contains no images")
 
@@ -391,7 +396,34 @@ def _ifd_entry(tag: int, ftype: int, value: int) -> bytes:
     return raw + struct.pack("<I", value)
 
 
-def write_tiff(images, dst=None) -> bytes | None:
+def _ifd_entry_big(tag: int, ftype: int, value: int) -> bytes:
+    """One 20-byte BigTIFF IFD entry, count 1 (value zero-padded to 8)."""
+    raw = struct.pack("<HHQ", tag, ftype, 1)
+    if ftype == 3:
+        return raw + struct.pack("<HHI", value, 0, 0)
+    if ftype == 4:
+        return raw + struct.pack("<II", value, 0)
+    return raw + struct.pack("<Q", value)  # 16 = LONG8
+
+
+def _image_entries(w: int, h: int, bits: int, fmt: int, data_start: int,
+                   nbytes: int, big: bool) -> list[bytes]:
+    """The per-image IFD entry list shared by both writers; BigTIFF uses
+    LONG8 for the strip offset/count so data may sit beyond 4 GiB."""
+    e = _ifd_entry_big if big else _ifd_entry
+    return [
+        e(0x0100, 3 if w < 65536 else 4, w),
+        e(0x0101, 3 if h < 65536 else 4, h),
+        e(0x0102, 3, bits),
+        e(0x0103, 3, 1),
+        e(0x0106, 3, 1),
+        e(0x0111, 16 if big else 4, data_start),
+        e(0x0117, 16 if big else 4, nbytes),
+        e(0x0153, 3, fmt),
+    ]
+
+
+def write_tiff(images, dst=None, *, bigtiff="auto") -> bytes | None:
     """Serialize image(s) to an uncompressed greyscale TIFF.
 
     ``images``: one 2-D array, a (F, h, w) array, a list of 2-D arrays, or a
@@ -399,6 +431,10 @@ def write_tiff(images, dst=None) -> bytes | None:
     data-first like the reference (header, pixels, IFD — Grey_tif.hpp:601-625,
     so pixels of image 0 start at byte 8). Returns the bytes, or writes to
     ``dst`` (path or file object) if given.
+
+    ``bigtiff``: True → BigTIFF (magic 43, 64-bit offsets); False →
+    classic (raises past the 4 GiB cap); "auto" (default) → classic
+    unless the stack would overflow it.
     """
     if isinstance(images, TiffStack):
         imgs = images.images
@@ -408,6 +444,11 @@ def write_tiff(images, dst=None) -> bytes | None:
         imgs = list(images)
     if not imgs:
         raise TiffError("no images to write")
+    if bigtiff == "auto":
+        total = sum(np.asarray(im).nbytes for im in imgs)
+        big = total + 256 * len(imgs) + 16 > 0xFFFFFFFF
+    else:
+        big = bool(bigtiff)
 
     # Zero-copy assembly: pixel data stays as memoryviews of the callers'
     # arrays (the bytearray += tobytes() version copied the payload three
@@ -415,10 +456,16 @@ def write_tiff(images, dst=None) -> bytes | None:
     # e2e decode once the codec itself passed ~1,300 fps host-side).
     chunks: list = []       # bytes-like pieces, written in order
     pos = 0
-    hdr = bytearray(b"II" + struct.pack("<HI", 42, 0))
+    if big:
+        hdr = bytearray(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
+        patch_off = 8                  # first-IFD pointer in the header
+    else:
+        hdr = bytearray(b"II" + struct.pack("<HI", 42, 0))
+        patch_off = 4  # next-IFD pointer (Grey_tif.hpp:339)
+    pfmt = "<Q" if big else "<I"
     chunks.append(hdr)
     pos = len(hdr)
-    patch_chunk, patch_off = 0, 4  # next-IFD pointer (Grey_tif.hpp:339)
+    patch_chunk = 0
     for img in imgs:
         img = np.ascontiguousarray(img)
         if img.ndim != 2:
@@ -431,11 +478,11 @@ def write_tiff(images, dst=None) -> bytes | None:
             raise TiffError(f"unsupported dtype {img.dtype}")
         h, w = img.shape
         data_start = pos
-        if pos + img.nbytes + 4096 > 0xFFFFFFFF:
+        if not big and pos + img.nbytes + 4096 > 0xFFFFFFFF:
             raise TiffError(
                 "classic TIFF caps at 4 GiB (32-bit offsets; the "
-                "reference reader/writer shares the limit) — split the "
-                "stack across files")
+                "reference reader/writer shares the limit) — pass "
+                "bigtiff=True or split the stack across files")
         le = np.ascontiguousarray(
             img.astype(img.dtype.newbyteorder("<"), copy=False))
         chunks.append(memoryview(le).cast("B"))
@@ -446,23 +493,14 @@ def write_tiff(images, dst=None) -> bytes | None:
             ifd += b"\x00"  # word-align the IFD (Grey_tif.hpp:608-611)
             pos += 1
         ifd_at = pos
-        struct.pack_into("<I", chunks[patch_chunk], patch_off, ifd_at)
-        entries = [
-            _ifd_entry(0x0100, 3 if w < 65536 else 4, w),
-            _ifd_entry(0x0101, 3 if h < 65536 else 4, h),
-            _ifd_entry(0x0102, 3, bits),
-            _ifd_entry(0x0103, 3, 1),
-            _ifd_entry(0x0106, 3, 1),
-            _ifd_entry(0x0111, 4, data_start),
-            _ifd_entry(0x0117, 4, nbytes),
-            _ifd_entry(0x0153, 3, fmt),
-        ]
-        ifd += struct.pack("<H", len(entries))
+        struct.pack_into(pfmt, chunks[patch_chunk], patch_off, ifd_at)
+        entries = _image_entries(w, h, bits, fmt, data_start, nbytes, big)
+        ifd += struct.pack("<Q" if big else "<H", len(entries))
         for e in entries:
             ifd += e
         patch_chunk = len(chunks)           # this ifd chunk, appended next
         patch_off = len(ifd)                # next-IFD pointer inside it
-        ifd += struct.pack("<I", 0)
+        ifd += struct.pack(pfmt, 0)
         chunks.append(ifd)
         pos = ifd_at + len(ifd) - (1 if ifd[:1] == b"\x00" else 0)
 
@@ -486,14 +524,26 @@ class TiffWriter:
     memory — the streaming-decode counterpart of :class:`TiffStream`.
     Requires a seekable destination (the previous image's next-IFD
     pointer is patched in place).
+
+    ``bigtiff=True`` writes BigTIFF (magic 43, 64-bit offsets) for
+    stacks past classic TIFF's 4 GiB cap; the format must be chosen up
+    front because the header is emitted at construction (callers that
+    know the decoded size — e.g. the streaming-decode CLI — compute it
+    from frames × values × itemsize).
     """
 
-    def __init__(self, dst) -> None:
+    def __init__(self, dst, *, bigtiff: bool = False) -> None:
         self._own = isinstance(dst, (str, os.PathLike))
+        self._big = bool(bigtiff)
         self.f = open(dst, "wb") if self._own else dst
-        self.f.write(b"II" + struct.pack("<HI", 42, 0))
-        self._patch_at = 4  # file offset of the pointer to the next IFD
-        self._pos = 8
+        if self._big:
+            self.f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
+            self._patch_at = 8
+            self._pos = 16
+        else:
+            self.f.write(b"II" + struct.pack("<HI", 42, 0))
+            self._patch_at = 4  # file offset of the pointer to the next IFD
+            self._pos = 8
 
     def append(self, frames: np.ndarray) -> None:
         """Append one 2-D image or an (F, h, w) stack."""
@@ -511,11 +561,11 @@ class TiffWriter:
             if (bits, fmt) not in _DTYPES:
                 raise TiffError(f"unsupported dtype {img.dtype}")
             h, w = img.shape
-            if self._pos + img.nbytes + 4096 > 0xFFFFFFFF:
+            if not self._big and self._pos + img.nbytes + 4096 > 0xFFFFFFFF:
                 raise TiffError(
                     "classic TIFF caps at 4 GiB (32-bit offsets; the "
-                    "reference reader/writer shares the limit) — split "
-                    "the stack across files")
+                    "reference reader/writer shares the limit) — pass "
+                    "bigtiff=True or split the stack across files")
             data_start = self._pos
             le = np.ascontiguousarray(
                 img.astype(img.dtype.newbyteorder("<"), copy=False))
@@ -526,26 +576,19 @@ class TiffWriter:
                 ifd += b"\x00"
                 self._pos += 1
             ifd_at = self._pos
-            entries = [
-                _ifd_entry(0x0100, 3 if w < 65536 else 4, w),
-                _ifd_entry(0x0101, 3 if h < 65536 else 4, h),
-                _ifd_entry(0x0102, 3, bits),
-                _ifd_entry(0x0103, 3, 1),
-                _ifd_entry(0x0106, 3, 1),
-                _ifd_entry(0x0111, 4, data_start),
-                _ifd_entry(0x0117, 4, h * w * (bits // 8)),
-                _ifd_entry(0x0153, 3, fmt),
-            ]
-            ifd += struct.pack("<H", len(entries))
+            entries = _image_entries(w, h, bits, fmt, data_start,
+                                     h * w * (bits // 8), self._big)
+            pfmt = "<Q" if self._big else "<I"
+            ifd += struct.pack("<Q" if self._big else "<H", len(entries))
             for e in entries:
                 ifd += e
             pad = 1 if ifd[:1] == b"\x00" else 0
-            next_ptr_at = ifd_at + len(ifd) - pad  # next-IFD u32 position
-            ifd += struct.pack("<I", 0)
+            next_ptr_at = ifd_at + len(ifd) - pad  # next-IFD ptr position
+            ifd += struct.pack(pfmt, 0)
             self.f.write(ifd)
             end = self.f.tell()
             self.f.seek(self._patch_at)
-            self.f.write(struct.pack("<I", ifd_at))
+            self.f.write(struct.pack(pfmt, ifd_at))
             self.f.seek(end)
             self._patch_at = next_ptr_at
             self._pos = end
