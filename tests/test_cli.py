@@ -213,3 +213,43 @@ def test_trpx_verify(tmp_path, capsys):
     assert main(["verify", str(good), str(bad)]) == 1
     out = capsys.readouterr()
     assert "OK" in out.out and "FAILED" in out.err
+    assert "v2, matches walk" in out.out
+
+
+def test_trpx_verify_sidecar_checks(tmp_path, capsys):
+    """trpx verify fails on a corrupt .idx (which decode itself would
+    silently ignore) and on a structurally-valid sidecar whose tables
+    disagree with the walked archive."""
+    from trpx_tpu.io.trpx import _compute_offsets, write_index
+
+    rng = np.random.default_rng(34)
+    stack = rng.poisson(3.0, size=(4, 32, 32)).astype(np.uint16)
+    p = tmp_path / "s.trpx"
+    write_trpx(api.compress(stack), p, index=True)
+    idx = tmp_path / "s.trpx.idx"
+
+    blob = bytearray(idx.read_bytes())
+    blob[10] ^= 0xFF                       # CRC now fails -> corrupt
+    idx.write_bytes(bytes(blob))
+    assert main(["verify", str(p)]) == 1
+    assert "corrupt or stale" in capsys.readouterr().err
+
+    # valid CRC, plausible structure, wrong widths -> must still fail
+    arch = read_trpx(p)
+    arch.frame_index = arch.width_table = None
+    offs, wt = _compute_offsets(arch)
+    wt = wt.copy()
+    wt[0, 0] = int(wt[0, 0]) - 1 if wt[0, 0] > 0 else 1  # <= prolix_bits,
+    # so the structural loader accepts it; only the walk cross-check can
+    # catch the disagreement
+    write_index(p, offs, arch.meta.memory_size, widths=wt)
+    assert main(["verify", str(p)]) == 1
+    assert "width tables disagree" in capsys.readouterr().err
+
+    # 64-bit archives verify through the host codec (no device-path
+    # dtype restriction)
+    wide = tmp_path / "w.trpx"
+    vals = (np.arange(24, dtype=np.uint64) << 33).reshape(2, 12)
+    write_trpx(api.compress(vals), wide)
+    assert main(["verify", str(wide)]) == 0
+    assert "OK" in capsys.readouterr().out

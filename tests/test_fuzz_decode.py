@@ -180,12 +180,12 @@ def test_multi_byte_corruption_bursts(seed):
 
 
 def test_sidecar_fuzz(tmp_path):
-    """Random mutations of the .trpx.idx sidecar: decode must either
-    reject the sidecar (and fall back to the validating walk, producing
-    exact pixels) or raise cleanly — never crash or return wrong pixels
-    silently UNLESS the mutation hit only width bytes that still pass
-    the structural checks (widths are data, not addresses; address
-    corruption is what must never escape)."""
+    """Random mutations of the .trpx.idx sidecar: the trailing CRC32
+    must reject EVERY corrupted sidecar at load (decode falls back to
+    the validating walk), so decode either raises cleanly or produces
+    exact pixels — on the host path AND on the device (walk-free v2)
+    path, the one that feeds sidecar offsets straight into the gather."""
+    from trpx_tpu import ops
     from trpx_tpu.io.trpx import read_trpx, write_trpx
 
     rng = np.random.default_rng(77)
@@ -200,17 +200,18 @@ def test_sidecar_fuzz(tmp_path):
             i = int(rng.integers(0, len(blob)))
             blob[i] ^= int(rng.integers(1, 256))
         (tmp_path / "f.trpx.idx").write_bytes(bytes(blob))
+        loaded = read_trpx(p)
+        assert loaded.frame_index is None, (
+            "CRC32 must reject any corrupted sidecar")
         try:
-            out = api.decompress(read_trpx(p), device=False)
+            out = api.decompress(loaded, device=False)
         except OK_ERRORS:
             continue
-        out = np.asarray(out).reshape(6, -1)[:, :500]
-        # offsets feed the gather; if they were corrupted the loader
-        # must have rejected the sidecar, so pixels can only be exact —
-        # except when ONLY the v2 width bytes changed (pure data)
-        widths_region = len(idx) - 6 * (-(-500 // 12))
-        if not np.array_equal(out, stack):
-            assert all(
-                i >= widths_region
-                for i in range(len(idx)) if blob[i] != idx[i]
-            ), "address corruption escaped into wrong pixels"
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(6, -1)[:, :500], stack)
+        if trial % 10 == 0:
+            # device path: walk_archive's v2 branch would consume the
+            # sidecar tables with no validating walk — must see none
+            dev = ops.decode(read_trpx(p), np.uint16)
+            np.testing.assert_array_equal(
+                np.asarray(dev).reshape(6, -1)[:, :500], stack)

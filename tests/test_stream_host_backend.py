@@ -110,3 +110,40 @@ def test_cli_stream_decode(tmp_path):
     arrs = (np.stack([np.asarray(i) for i in back])
             if isinstance(back, list) else np.asarray(back))
     np.testing.assert_array_equal(arrs.reshape(5, 40, 40), stack[2:7])
+
+
+def test_cli_stream_index_writes_sidecar(tmp_path):
+    """--stream --index must write the v2 sidecar (it used to vanish:
+    the streaming path never forwarded the flag to finalize)."""
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io import write_tiff
+    from trpx_tpu.io.trpx import read_trpx
+
+    rng = np.random.default_rng(21)
+    stack = rng.poisson(3.0, size=(7, 24, 24)).astype(np.uint16)
+    write_tiff(stack, tmp_path / "s.tif")
+    assert terse_main([str(tmp_path / "s.tif"), "--host", "--stream",
+                       "--index", "--chunk-frames", "3"]) == 0
+    assert (tmp_path / "s.trpx.idx").exists()
+    arch = read_trpx(tmp_path / "s.trpx")
+    assert arch.width_table is not None  # v2: decode skips the walk
+    np.testing.assert_array_equal(
+        np.asarray(pycodec.decode(arch, np.uint16)).reshape(stack.shape),
+        stack)
+
+
+def test_host_stream_uint64(tmp_path):
+    """64-bit dtypes stream through the host backend (no device-path
+    FrameSpec restriction; only the device backend needs one)."""
+    from trpx_tpu.runtime.stream import StreamingEncoder
+    from trpx_tpu.io.trpx import read_trpx
+
+    vals = (np.arange(3 * 20, dtype=np.uint64) << 35).reshape(3, 20)
+    enc = StreamingEncoder(tmp_path / "w.trpx", nvalues=20,
+                           dtype=np.uint64, backend="host")
+    enc.add_frames(vals[:2])
+    enc.add_frames(vals[2:])
+    enc.finalize(verify=True, index=True)
+    arch = read_trpx(tmp_path / "w.trpx")
+    np.testing.assert_array_equal(
+        np.asarray(pycodec.decode(arch, np.uint64)).reshape(3, 20), vals)

@@ -133,7 +133,9 @@ def _encode_streaming(src: Path, args) -> tuple[int, int]:
     for lo in range(start, len(ts), args.chunk_frames):
         chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))
         enc.add_frames(chunk.reshape(chunk.shape[0], -1))
-    enc.finalize(verify=True)
+    # --index previously vanished on the --stream path (finalize was
+    # called without it); verify and index now share one walk
+    enc.finalize(verify=True, index=bool(getattr(args, "index", False)))
     raw = sum(i.nbytes for i in ts.infos)
     comp = dst.stat().st_size
     ts.close()
@@ -237,7 +239,7 @@ def _decode_streaming(src: Path, args, sel) -> None:
     """--stream decode: chunked frame-range decode -> incremental TIFF
     writer; memory stays O(chunk) on the pixel side (the compressed
     payload is held in memory — ~5x smaller than the output)."""
-    from ..io.tiff import TiffWriter
+    from ..io.tiff import TiffWriter, needs_bigtiff
     from ..io.trpx import subset_frames
 
     archive = read_trpx(src)
@@ -255,9 +257,9 @@ def _decode_streaming(src: Path, args, sel) -> None:
     # decoded size is known up front from the archive metadata; switch to
     # BigTIFF (64-bit offsets) when classic TIFF's 4 GiB cap would trip
     itemsize = api.output_dtype(meta).itemsize
-    expected = F * meta.number_of_values * itemsize + 256 * F + 16
+    pixel_bytes = F * meta.number_of_values * itemsize
     with open(tmp, "wb") as f:
-        wtr = TiffWriter(f, bigtiff=expected > 0xFFFFFFFF)
+        wtr = TiffWriter(f, bigtiff=needs_bigtiff(pixel_bytes, F))
         for lo in range(0, F, args.chunk_frames):
             hi = min(F, lo + args.chunk_frames)
             pix = api.decompress(archive, device=device,
@@ -350,11 +352,12 @@ def _info_files(args) -> int:
 
 
 def _verify_files(args) -> int:
-    """``trpx verify``: archive integrity check — header validation,
-    full header walk (structural bounds + width-over-claim), sidecar
-    consistency, and a complete decode with value-range sanity. Exits
-    nonzero if any file fails."""
-    from ..ops.coding import FrameSpec, walk_archive
+    """``trpx verify``: archive integrity check, entirely host-side (no
+    JAX initialization) — header validation, a full validating header
+    walk (structural bounds + width-over-claim), cross-check of any
+    sidecar against that walk, and a chunked complete decode with O(chunk)
+    pixel memory. Exits nonzero if any file fails."""
+    from ..io.trpx import _compute_offsets, _idx_path, read_index_full
 
     bad = 0
     for name in args.files:
@@ -362,24 +365,51 @@ def _verify_files(args) -> int:
         try:
             archive = read_trpx(src)
             meta = archive.meta
-            dtype = api.output_dtype(meta)
-            spec = FrameSpec.for_dtype(meta.number_of_values, dtype,
-                                       meta.block)
-            sidecar = "none"
-            if getattr(archive, "width_table", None) is not None:
-                sidecar = "v2 (walk-free)"
-            elif getattr(archive, "frame_index", None) is not None:
-                sidecar = "v1 (indexed walk)"
             # force a validating walk even when a v2 sidecar would skip
             # it: verification is exactly the time to distrust caches
             plain = type(archive)(meta=meta, payload=archive.payload)
-            widths, _p, _w = walk_archive(plain, spec)
-            pixels = api.decompress(plain, device=False)
+            offs, widths = _compute_offsets(plain)
             wmax = int(widths.max()) if widths.size else 0
+            # sidecar three-state: absent / matches the walk / FAILED
+            # (corrupt, stale, or disagreeing tables all fail — an
+            # integrity checker must not silently shrug off a bad .idx)
+            sidecar = "none"
+            idx_p = _idx_path(src)
+            if idx_p.exists():
+                s_offs, s_wt = read_index_full(
+                    src, meta.number_of_frames, meta.memory_size)
+                if s_offs is None:
+                    raise ValueError(
+                        f"sidecar {idx_p.name} is corrupt or stale "
+                        f"(decode ignores it; regenerate with "
+                        f"'trpx decode --index' or delete it)")
+                if not np.array_equal(np.asarray(s_offs), offs):
+                    raise ValueError(f"sidecar {idx_p.name} frame offsets "
+                                     f"disagree with the walked archive")
+                sidecar = "v1, matches walk"
+                if s_wt is not None:
+                    if not np.array_equal(s_wt, widths):
+                        raise ValueError(
+                            f"sidecar {idx_p.name} width tables disagree "
+                            f"with the walked archive")
+                    sidecar = "v2, matches walk"
+            # chunked full decode (host codec): bounded memory even for
+            # multi-GB archives; the walk above is trusted, so attach it
+            plain.frame_index = offs
+            plain.width_table = widths
+            F = meta.number_of_frames
+            itemsize = api.output_dtype(meta).itemsize
+            chunk = max(1, min(F, (1 << 28)
+                               // max(1, meta.number_of_values * itemsize)))
+            nbytes = 0
+            for lo in range(0, F, chunk):
+                px = api.decompress(plain, device=False,
+                                    frames=slice(lo, min(F, lo + chunk)))
+                nbytes += np.asarray(px).nbytes
             print(f"{name}: OK — {meta.number_of_frames} frames x "
                   f"{meta.number_of_values} values, widths <= {wmax} "
                   f"(prolix_bits={meta.prolix_bits}), sidecar {sidecar}, "
-                  f"decoded {pixels.nbytes / 1e6:.1f} MB")
+                  f"decoded {nbytes / 1e6:.1f} MB")
         except Exception as e:
             print(f"{name}: FAILED — {e}", file=sys.stderr)
             bad += 1

@@ -388,6 +388,18 @@ class TiffStream:
         del self._mm
 
 
+def needs_bigtiff(total_pixel_bytes: int, n_images: int) -> bool:
+    """True when a classic TIFF cannot safely hold the stack.
+
+    The single source of truth for the BigTIFF switch: its margin
+    (4096 bytes/image) dominates the writers' per-image overflow guard
+    (``pos + nbytes + 4096``; real IFD overhead is ~104 bytes/image), so
+    ``bigtiff="auto"``/streaming callers that consult it can never pick
+    classic and then hit the guard mid-write.
+    """
+    return total_pixel_bytes + 4096 * n_images + 16 > 0xFFFFFFFF
+
+
 def _ifd_entry(tag: int, ftype: int, value: int) -> bytes:
     """One 12-byte little-endian IFD entry, count 1 (Grey_tif.hpp:829-840)."""
     raw = struct.pack("<HHI", tag, ftype, 1)
@@ -446,7 +458,7 @@ def write_tiff(images, dst=None, *, bigtiff="auto") -> bytes | None:
         raise TiffError("no images to write")
     if bigtiff == "auto":
         total = sum(np.asarray(im).nbytes for im in imgs)
-        big = total + 256 * len(imgs) + 16 > 0xFFFFFFFF
+        big = needs_bigtiff(total, len(imgs))
     else:
         big = bool(bigtiff)
 

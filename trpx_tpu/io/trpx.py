@@ -16,12 +16,20 @@ skips the header walk entirely — the prepass becomes a parallel memcpy
 gather, removing the serial-walk bottleneck for decode-many archives
 (~19% of the compressed size for the flagship workload; opt-in via
 ``write_trpx(..., index=True)`` / ``trpx encode --index``).
+
+Both versions end with a little-endian CRC32 of everything before it.
+The v2 fast path feeds sidecar offsets straight into the parallel
+gather with NO validating walk, so silent sidecar corruption must be
+impossible: the CRC rejects any damaged file outright (falling back to
+the walk), and the structural checks below still guard against
+stale-but-intact or handcrafted tables.
 """
 
 from __future__ import annotations
 
 import os
 import struct
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -54,6 +62,7 @@ def write_index(path, offsets, payload_size: int, widths=None) -> None:
                 + struct.pack("<QQQ", offs.shape[0], payload_size,
                               wt.shape[1])
                 + offs.tobytes() + wt.tobytes())
+    blob += struct.pack("<I", zlib.crc32(blob))
     _idx_path(path).write_bytes(blob)
 
 
@@ -77,9 +86,17 @@ def read_index_full(path, n_frames: int, payload_size: int):
     Returns (offsets (F,) int64 | None, widths (F, nb) uint8 | None)."""
     p = _idx_path(path)
     try:
-        data = p.read_bytes()
+        raw = p.read_bytes()
     except OSError:
         return None, None
+    # trailing CRC32 first: ANY corruption of the sidecar file is
+    # rejected here (decode falls back to the validating walk); the
+    # structural checks below then only have to handle stale-but-intact
+    # or handcrafted tables
+    if len(raw) < 12 or zlib.crc32(raw[:-4]) != struct.unpack(
+            "<I", raw[-4:])[0]:
+        return None, None
+    data = raw[:-4]
     if len(data) >= 32 and data[:8] == _IDX_MAGIC2:
         count, size, nb = struct.unpack("<QQQ", data[8:32])
         if count != n_frames or size != payload_size:

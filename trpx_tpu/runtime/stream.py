@@ -85,8 +85,16 @@ class StreamingEncoder:
         self.part = self.path.with_name(self.path.name + ".part")
         self.manifest_path = self.path.with_name(self.path.name + ".manifest")
         self.dtype = np.dtype(dtype)
-        self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block,
-                                        cap_ratio=0.5)
+        self.nvalues = nvalues
+        self.block = block
+        if backend == "host":
+            # the host backend has no device-path dtype restriction
+            # ((u)int64 streams fine through the native codec); only the
+            # device backend needs a FrameSpec
+            self.spec = None
+        else:
+            self.spec = FrameSpec.for_dtype(nvalues, self.dtype, block,
+                                            cap_ratio=0.5)
         self.sync_every_chunk = sync_every_chunk
         self.part_idx = self.path.with_name(self.path.name + ".part.idx")
         if self.manifest_path.exists():
@@ -151,7 +159,7 @@ class StreamingEncoder:
         if frames.ndim == 3:
             frames = frames.reshape(frames.shape[0], -1)
         F, n = frames.shape
-        if n != self.spec.n or frames.dtype != self.dtype:
+        if n != self.nvalues or frames.dtype != self.dtype:
             raise ValueError("chunk shape/dtype does not match the stream")
         if self.backend == "host":
             self._write_host_chunk(frames)
@@ -180,19 +188,19 @@ class StreamingEncoder:
             if not native.available():
                 raise RuntimeError
             payload, fstarts, prolix = native.encode_frames(
-                frames, self.spec.block, self.dtype.kind == "i")
+                frames, self.block, self.dtype.kind == "i")
             sizes = np.diff(fstarts)
         except (RuntimeError, OSError):  # no compiler: spec-as-code path
             from ..format import pycodec
 
             from ..format.pycodec import walk_frame
 
-            arch = pycodec.encode(list(frames), block=self.spec.block)
+            arch = pycodec.encode(list(frames), block=self.block)
             payload = arch.payload
             pos, sizes = 0, []
             for _f in range(F):
-                _w, _o, nxt = walk_frame(payload, pos, self.spec.n,
-                                         self.spec.block)
+                _w, _o, nxt = walk_frame(payload, pos, self.nvalues,
+                                         self.block)
                 sizes.append(nxt - pos)
                 pos = nxt
             sizes = np.asarray(sizes)
@@ -273,11 +281,20 @@ class StreamingEncoder:
     def finalize(self, verify: bool = False, index: bool = False) -> Path:
         """Assemble header + payload into ``path``; optionally verify by
         re-walking every frame header; ``index=True`` writes the v2
-        ``.trpx.idx`` sidecar (offsets were accumulated per chunk; the
-        width tables cost one parallel indexed walk over a single
-        transient payload copy); then drop the temporaries."""
+        ``.trpx.idx`` sidecar; then drop the temporaries.
+
+        ``verify`` and ``index`` share ONE parallel indexed walk over a
+        single transient payload copy (offsets were accumulated per
+        chunk): it validates every block header against the manifest's
+        prolix_bits and yields the v2 width tables as a byproduct. The
+        earlier design walked the archive twice AND materialized the
+        decoder's padded (F, cap_words) gather buffer — ~5.5 GB and most
+        of finalize's wall time on a 10k-frame movie — just to throw it
+        away. Verification failures raise BEFORE the output is published.
+        """
         self.flush()  # drain the double-buffered in-flight chunk
-        header = emit_header(self.meta())
+        meta = self.meta()
+        header = emit_header(meta)
         tmp = self.path.with_name(self.path.name + ".tmp")
         with open(tmp, "wb") as out, open(self.part, "rb") as part:
             out.write(header)
@@ -288,50 +305,75 @@ class StreamingEncoder:
                 out.write(buf)
             out.flush()
             os.fsync(out.fileno())
-        if verify:
-            from ..format.pycodec import TrpxArchive
-            from ..io.trpx import read_trpx
-
-            arch = read_trpx(tmp)
-            assert isinstance(arch, TrpxArchive)
-            from ..ops.coding import walk_archive
-
-            walk_archive(arch, self.spec)  # raises on malformed stream
+        offs = widths = None
+        if verify or index:
+            plen = self.m.payload_bytes
+            offs = np.fromfile(self.part_idx, dtype="<u8").astype(np.int64)
+            if offs.shape[0] != self.m.frames_done or (offs.size and not (
+                    offs[0] == 0 and (np.diff(offs) > 0).all()
+                    and int(offs[-1]) < plen)):
+                raise ValueError(
+                    "corrupt stream state: frame offset table inconsistent "
+                    "with the manifest")
+            if offs.size:
+                widths = self._walk_assembled(tmp, len(header), offs, meta)
         os.replace(tmp, self.path)
-        if index:
+        if index and offs is not None:
             from ..io.trpx import write_index
 
-            offs = np.fromfile(self.part_idx, dtype="<u8")
-            widths = None
-            try:
-                # one indexed (parallel) walk upgrades the sidecar to v2
-                # (width tables): every later decode skips the walk.
-                # The padded buffer is filled straight from the file —
-                # ONE transient payload copy, not read_bytes + slice +
-                # pad (3x peak would defeat bounded-memory streaming)
-                from .. import native
-
-                if native.available():
-                    plen = self.m.payload_bytes
-                    buf = np.empty(plen + native.SLACK, np.uint8)
-                    with open(self.path, "rb") as f:
-                        f.seek(len(header))
-                        if f.readinto(memoryview(buf)[:plen]) != plen:
-                            raise OSError("short read")
-                    buf[plen:] = 0
-                    widths, _ = native.walk_indexed(
-                        buf, offs.astype(np.int64), self.m.nvalues,
-                        self.m.block, want_poffs=False,
-                    )
-                    widths = widths.astype(np.uint8)
-            except Exception:
-                widths = None
             write_index(self.path, offs, self.m.payload_bytes,
                         widths=widths)
         self.part.unlink(missing_ok=True)
         self.part_idx.unlink(missing_ok=True)
         self.manifest_path.unlink(missing_ok=True)
         return self.path
+
+    def _walk_assembled(self, tmp: Path, header_len: int,
+                        offs: np.ndarray, meta) -> np.ndarray:
+        """Validating header walk of the assembled file -> (F, nb) u8
+        width tables. Native: parallel indexed walk over one transient
+        padded copy (read straight into the padded buffer — not
+        read_bytes + slice + pad, whose 3x peak would defeat
+        bounded-memory streaming). Fallback: serial spec-as-code walk."""
+        plen = self.m.payload_bytes
+        try:
+            from .. import native
+
+            if native.available():
+                buf = np.empty(plen + native.SLACK, np.uint8)
+                with open(tmp, "rb") as f:
+                    f.seek(header_len)
+                    if f.readinto(memoryview(buf)[:plen]) != plen:
+                        raise OSError("short read of assembled payload")
+                buf[plen:] = 0
+                w, _ = native.walk_indexed(
+                    buf, offs, self.m.nvalues, self.m.block,
+                    want_poffs=False, max_width=meta.prolix_bits,
+                )
+                return w.astype(np.uint8)
+        except (OSError, RuntimeError):
+            pass  # no native library/compiler: spec-as-code fallback
+        from ..format.pycodec import walk_frame
+
+        with open(tmp, "rb") as f:
+            f.seek(header_len)
+            payload = f.read(plen)
+        nb = -(-self.m.nvalues // self.m.block)
+        widths = np.zeros((offs.shape[0], nb), np.uint8)
+        pos = 0
+        for k in range(offs.shape[0]):
+            if pos != int(offs[k]):
+                raise ValueError(
+                    f"frame {k} starts at byte {pos}, offset table "
+                    f"says {int(offs[k])}")
+            w, _o, pos = walk_frame(payload, pos, self.m.nvalues,
+                                    self.m.block)
+            widths[k] = w
+        if widths.size and int(widths.max()) > meta.prolix_bits:
+            raise ValueError(
+                f"corrupt TRPX payload: block width {int(widths.max())} "
+                f"exceeds the header's prolix_bits={meta.prolix_bits}")
+        return widths
 
 
 def iter_decode(archive, dtype, chunk_frames: int = 256):
