@@ -63,12 +63,19 @@ def _configure_jax() -> None:
             pass
 
 
-def _atomic_write(path: Path, writer) -> None:
+def _atomic_write(path: Path, writer, durable: bool = True) -> None:
+    """Write-to-temp + rename. ``durable=True`` fsyncs before the rename
+    — REQUIRED whenever the caller goes on to delete the input (the
+    reference deletes with no fsync at all, so a crash can lose data,
+    SURVEY §5). Without deletion the input still exists, so callers pass
+    durable=False and skip the ~2 ms/file fsync (it dominated the
+    many-small-files CLI loop)."""
     tmp = path.with_name(path.name + ".tmp")
     with open(tmp, "wb") as f:
         writer(f)
-        f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -190,7 +197,8 @@ def _encode_files(args) -> int:
             total_trpx += archive.meta.memory_size
             t2 = time.perf_counter()
             dst = _out_path(src, ".trpx", args.out_dir)
-            _atomic_write(dst, lambda f: write_trpx(archive, f))
+            _atomic_write(dst, lambda f: write_trpx(archive, f),
+                          durable=args.delete_inputs)
             if args.index:
                 from ..io.trpx import _compute_offsets, write_index
 
@@ -316,7 +324,8 @@ def _decode_files(args) -> int:
                 offs, wt = _compute_offsets(archive)
                 write_index(src, offs, meta.memory_size, widths=wt)
             _atomic_write(_out_path(src, ".tif", args.out_dir),
-                          lambda f: write_tiff(pixels, f))
+                          lambda f: write_tiff(pixels, f),
+                          durable=args.delete_inputs)
             t3 = time.perf_counter()
             if args.delete_inputs:
                 print(f"Deleting trpx file: {src}")

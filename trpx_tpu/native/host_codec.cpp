@@ -178,6 +178,15 @@ inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
     return true;
 }
 
+// Minimum per-call work (in rough bytes touched) before an OpenMP
+// parallel region pays for itself. Region entry/exit is not free — on a
+// contended 4-vCPU host a single fork/join measured ~1-7 ms, turning a
+// 0.5 ms single-frame encode into 14 ms (the many-small-files CLI
+// case). Below this, `if()` collapses the region to the calling thread;
+// above it (streaming chunks, whole-archive walks) the fork cost is
+// noise.
+static const int64_t kOmpMinBytes = 4 << 20;
+
 }  // namespace
 
 extern "C" {
@@ -222,7 +231,8 @@ int trpx_walk(const uint8_t* payload, int64_t payload_len,
 void trpx_gather_frames(const uint8_t* payload, const int64_t* starts,
                         const int64_t* ends, int64_t nframes,
                         uint8_t* out, int64_t row_bytes) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) \
+    if(nframes * row_bytes >= kOmpMinBytes)
     for (int64_t f = 0; f < nframes; ++f) {
         int64_t len = ends[f] - starts[f];
         if (len > row_bytes) len = row_bytes;
@@ -245,7 +255,8 @@ int trpx_walk_indexed(const uint8_t* payload, int64_t payload_len,
     int64_t nblocks = (nvalues + block - 1) / block;
     int bad = 0;
     int wmax = 0;
-#pragma omp parallel for schedule(static) reduction(|:bad) reduction(max:wmax)
+#pragma omp parallel for schedule(static) reduction(|:bad) \
+    reduction(max:wmax) if(nframes * nblocks * 8 >= kOmpMinBytes)
     for (int64_t f = 0; f < nframes; ++f) {
         if (fstarts[f] < 0 || fstarts[f] >= payload_len) { bad |= 1; continue; }
         uint64_t pos = (uint64_t)fstarts[f] * 8;
@@ -324,7 +335,8 @@ int64_t encode_frames_impl(const T* values, int64_t nframes,
     int bad = 0;
     // pass 1: per-frame bit sizes + widths + prolix (no stream writes)
 #pragma omp parallel for schedule(static) \
-    reduction(max:prolix) reduction(|:bad)
+    reduction(max:prolix) reduction(|:bad) \
+    if(nframes * nvalues * (int64_t)sizeof(T) >= kOmpMinBytes)
     for (int64_t f = 0; f < nframes; ++f) {
         const T* frame = values + f * nvalues;
         int8_t* wrow = wtab.data() + f * nblocks;
@@ -359,7 +371,8 @@ int64_t encode_frames_impl(const T* values, int64_t nframes,
     // No global memset of `out`: the per-frame scratches are
     // zero-initialized and the fstarts ranges partition [0, start_byte)
     // exactly, so every returned byte is written by exactly one memcpy.
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) \
+    if(nframes * nvalues * (int64_t)sizeof(T) >= kOmpMinBytes)
     for (int64_t f = 0; f < nframes; ++f) {
         int64_t len = fstarts[f + 1] - fstarts[f];
         std::vector<uint8_t> scratch((size_t)len + 32, 0);
@@ -447,7 +460,8 @@ int decode_frames_impl(const uint8_t* payload, int64_t payload_len,
     int64_t nblocks = (nvalues + block - 1) / block;
     // frames decode independently: poffs are absolute, each thread
     // carries its own reader
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) \
+    if(nframes * nvalues * (int64_t)sizeof(OUT) >= kOmpMinBytes)
     for (int64_t f = 0; f < nframes; ++f) {
         BitReader r{payload, (uint64_t)payload_len, 0};
         OUT* dst = out + f * nvalues;
