@@ -361,18 +361,33 @@ class TiffStream:
     def read(self, lo: int, hi: int) -> np.ndarray:
         """Load frames [lo, hi) -> (hi-lo, h, w) native-endian array.
 
-        One copy per frame, straight from the mmap into a preallocated
-        batch (the astype-then-stack version copied the pixels twice,
-        which was ~half of CPU e2e encode ingest time)."""
+        Native-endian files go through the native parallel gather (one
+        OpenMP memcpy per frame — the serial per-frame numpy copy before
+        it was ~1 ms/frame at 512², more than the encode itself in the
+        e2e pipeline); foreign endianness falls back to per-frame numpy
+        copies with byte-order conversion."""
         infos = self.infos[lo:hi]
         f0 = infos[0]
-        out = np.empty((len(infos), f0.height, f0.width),
-                       dtype=f0.dtype.newbyteorder("="))
-        for k, info in enumerate(infos):
+        for info in infos:
             if ((info.width, info.height, info.dtype)
                     != (f0.width, f0.height, f0.dtype)):
                 raise TiffError("read() needs uniform frames "
                                 "(use TiffStack.regularize for mixed)")
+        out = np.empty((len(infos), f0.height, f0.width),
+                       dtype=f0.dtype.newbyteorder("="))
+        if f0.dtype == out.dtype:  # native order: memcpy == value copy
+            try:
+                from .. import native
+
+                if native.available():
+                    starts = np.array([i.offset for i in infos], np.int64)
+                    native.gather_frames(
+                        self._mm, starts, starts + f0.nbytes,
+                        out.reshape(len(infos), -1).view(np.uint8))
+                    return out
+            except (OSError, RuntimeError):
+                pass  # no compiler/library: numpy fallback below
+        for k, info in enumerate(infos):
             src = np.frombuffer(
                 self._mm, dtype=info.dtype,
                 count=info.width * info.height, offset=info.offset,
