@@ -17,6 +17,9 @@ int64 exactly like the reference CLI (terse.cpp:120-123).
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 
 from .format import pycodec
@@ -31,6 +34,88 @@ _DEVICE_KINDS = {
 
 #: auto mode (device=None) keeps workloads below this on the host codec
 _DEVICE_MIN_BYTES = 4 << 20
+
+_ACCEL_BACKEND: bool | None = None
+
+
+def _accel_backend() -> bool:
+    """True when jax's default backend is an accelerator. Auto-routing
+    (``device=None``) only prefers the device path then: on a CPU-only
+    box the XLA-CPU merge tree runs ~7 frames/s at 512² while the native
+    host codec runs ~3,800 — 'device' must mean real hardware, not
+    jax-on-the-same-cores. Cached (backend choice is process-wide);
+    explicit ``device=True`` still forces the jax path anywhere.
+
+    Decided WITHOUT risking a hang: an unreachable accelerator runtime
+    (e.g. a tunneled TPU whose link is down) blocks ``jax.devices()``
+    forever, so the undecided case probes discovery in a subprocess with
+    a timeout and degrades to the host codec (always correct, just a
+    different engine)."""
+    global _ACCEL_BACKEND
+    if _ACCEL_BACKEND is not None:
+        return _ACCEL_BACKEND
+    plats = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if "jax" in sys.modules:
+        import jax
+
+        cfg = (getattr(jax.config, "jax_platforms", None) or "").lower()
+        if cfg:
+            plats = cfg
+        # a backend that already initialized answers instantly
+        from jax._src import xla_bridge as _xb
+
+        if getattr(_xb, "_backends", None):
+            _ACCEL_BACKEND = jax.default_backend() != "cpu"
+            return _ACCEL_BACKEND
+    if plats.split(",")[0] == "cpu":
+        _ACCEL_BACKEND = False
+        return _ACCEL_BACKEND
+    # A non-cpu platform may be configured GLOBALLY (env/site hooks set
+    # e.g. "axon" on every process of a TPU pod) yet be unreachable —
+    # trusting the name would hang, so probe discovery in a subprocess
+    # and cache the verdict on disk (TTL) so each CLI invocation doesn't
+    # re-pay the ~10 s discovery (live) / 45 s timeout (dead link).
+    # Key on the primary platform only ("axon" and "axon,cpu" are the
+    # same question).
+    _ACCEL_BACKEND = _probe_accel(plats.split(",")[0])
+    return _ACCEL_BACKEND
+
+
+def _probe_accel(plats: str, ttl: float = 600.0) -> bool:
+    import json
+    import subprocess
+    import time
+
+    cache = os.path.join(
+        os.environ.get("TRPX_CACHE_DIR",
+                       os.path.expanduser("~/.cache/trpx_tpu")),
+        "accel_probe.json")
+    try:
+        st = json.loads(open(cache).read())
+        if st.get("platforms") == plats and time.time() - st.get("ts", 0) < ttl:
+            return bool(st["accel"])
+    except Exception:
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=45)
+        accel = (r.returncode == 0
+                 and r.stdout.strip().splitlines()[-1:] != ["cpu"]
+                 and r.stdout.strip() != "")
+    except Exception:
+        accel = False
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"platforms": plats, "accel": accel,
+                       "ts": time.time()}, f)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return accel
 
 
 def _as_stack(frames) -> tuple[np.ndarray, tuple[int, ...]]:
@@ -80,6 +165,7 @@ def compress(
         # per-odd-shape XLA compiles (a 4-value frame measured minutes
         # of compile on the tunneled chip, tools/tpu_size_matrix.py)
         and stack.nbytes >= _DEVICE_MIN_BYTES
+        and _accel_backend()
     )
     if use_device:
         from . import ops  # deferred: jax import is heavy
@@ -152,7 +238,7 @@ def decompress(
     raw_bytes = (meta.number_of_frames * meta.number_of_values
                  * dtype.itemsize)
     use_device = device if device is not None else (
-        device_ok and raw_bytes >= _DEVICE_MIN_BYTES
+        device_ok and raw_bytes >= _DEVICE_MIN_BYTES and _accel_backend()
     )
     if use_device and not device_ok:
         raise ValueError(

@@ -132,10 +132,11 @@ def _encode_streaming(src: Path, args) -> tuple[int, int]:
         )
     w, h = ts.dims
     dst = _out_path(src, ".trpx", args.out_dir)
+    use_host = args.host or not api._accel_backend()
     enc = StreamingEncoder(dst, nvalues=w * h,
                            dtype=ts.infos[0].dtype.newbyteorder("="),
                            block=args.block, dimensions=(w, h),
-                           backend="host" if args.host else "device")
+                           backend="host" if use_host else "device")
     start = enc.frames_done  # resume point if a manifest exists
     for lo in range(start, len(ts), args.chunk_frames):
         chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))
@@ -546,9 +547,11 @@ def _bench_e2e(args, frames) -> None:
         dst = Path(td) / "stack.trpx"
         t0 = time.perf_counter()
         ts = TiffStream(src)
-        enc = StreamingEncoder(dst, nvalues=w * h,
-                               dtype=ts.infos[0].dtype.newbyteorder("="),
-                               dimensions=(w, h), sync_every_chunk=False)
+        enc = StreamingEncoder(
+            dst, nvalues=w * h,
+            dtype=ts.infos[0].dtype.newbyteorder("="),
+            dimensions=(w, h), sync_every_chunk=False,
+            backend="device" if api._accel_backend() else "host")
         for lo in range(0, len(ts), args.chunk_frames):
             chunk = ts.read(lo, min(len(ts), lo + args.chunk_frames))
             enc.add_frames(chunk.reshape(chunk.shape[0], -1))

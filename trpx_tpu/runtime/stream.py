@@ -401,10 +401,24 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
         archive = read_trpx(archive)
     dtype = np.dtype(dtype)
     meta = archive.meta
-    spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     F = meta.number_of_frames
     n = meta.number_of_values
     C = min(chunk_frames, F)
+
+    from .. import api as _api
+
+    if not _api._accel_backend():
+        # CPU-only backend: "overlapping the device" means racing jax's
+        # XLA-CPU tree against the native codec on the same cores — the
+        # native codec alone is ~100x faster there. Chunked host decode,
+        # no jax at all.
+        for lo in range(0, F, C):
+            out = _api.decompress(archive, dtype=dtype, device=False,
+                                  frames=slice(lo, min(F, lo + C)))
+            yield np.asarray(out).reshape(-1, n)
+        return
+
+    spec = FrameSpec.for_dtype(meta.number_of_values, dtype, meta.block)
     try:
         from .. import native
 
