@@ -110,6 +110,11 @@ def test_iter_decode_passes_schedule_as_ratio(monkeypatch, tmp_path):
         return run
 
     monkeypatch.setattr(coding, "_best_decoder", spy)
+    # this pins DEVICE-pipeline plumbing: force iter_decode past the
+    # cpu-backend host shortcut (which never calls the device decoder)
+    import trpx_tpu.api as api_mod
+
+    monkeypatch.setattr(api_mod, "_ACCEL_BACKEND", True)
     out = np.concatenate(
         [np.asarray(c) for c in stream_mod.iter_decode(
             p, np.uint16, chunk_frames=3)])
