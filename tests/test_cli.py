@@ -253,3 +253,32 @@ def test_trpx_verify_sidecar_checks(tmp_path, capsys):
     write_trpx(api.compress(vals), wide)
     assert main(["verify", str(wide)]) == 0
     assert "OK" in capsys.readouterr().out
+
+
+def test_jobs_pool_encode_decode(tmp_path, capsys):
+    """--jobs N processes files on a thread pool with the same per-file
+    error recovery and verbose report as the serial loop."""
+    from trpx_tpu.cli.main import prolix_main, terse_main
+    from trpx_tpu.io.tiff import write_tiff as wtif
+
+    rng = np.random.default_rng(41)
+    frames = [rng.poisson(3.0, (32, 32)).astype(np.uint16)
+              for _ in range(4)]
+    names = []
+    for k, f in enumerate(frames):
+        p = tmp_path / f"j{k}.tif"
+        wtif(f, p)
+        names.append(str(p))
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(b"nottiff!")
+    rc = terse_main(["-verbose", "--jobs", "3"] + names + [str(bad)])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "Terse compressed: 4 files" in out.out
+    assert "Error processing" in out.err
+    rc = prolix_main(["--jobs", "3", "--out-dir", str(tmp_path / "d")]
+                     + [str(tmp_path / f"j{k}.trpx") for k in range(4)])
+    assert rc == 0
+    for k, f in enumerate(frames):
+        got = read_tiff(tmp_path / "d" / f"j{k}.tif")
+        np.testing.assert_array_equal(np.stack(list(got))[0], f)

@@ -102,6 +102,11 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
                         " + width tables: later decodes skip the serial "
                         "header walk entirely; on decode, caches a "
                         "foreign archive's first walk)")
+    p.add_argument("--jobs", type=int, default=1, metavar="N",
+                   help="process N files concurrently (thread pool; the "
+                        "native codec releases the GIL, so parse/IO of "
+                        "one file overlaps the encode of another — for "
+                        "the one-.tif-per-frame acquisition pattern)")
 
 
 def _decode_flags(p: argparse.ArgumentParser) -> None:
@@ -150,6 +155,76 @@ def _encode_streaming(src: Path, args) -> tuple[int, int]:
     return raw, comp
 
 
+def _encode_one(src: Path, args, device) -> tuple[int, int, float, float]:
+    """Encode ONE .tif -> .trpx; returns (raw, comp, user_s, io_s).
+    Thread-safe: pure function of the file + args (the native codec
+    releases the GIL, so a --jobs pool overlaps parse and encode)."""
+    t0 = time.perf_counter()
+    stack = read_tiff(src)
+    t1 = time.perf_counter()
+    if not stack.uniform():
+        if len({im.shape for im in stack}) == 1:
+            # mixed-dtype stack: regularize to a lossless common
+            # type (Grey_tif<T>::f_regularize parity,
+            # Grey_tif.hpp:627-673; see COMPONENTS.md ledger)
+            stack.regularize()
+        else:
+            raise ValueError(
+                "TIFF file contains a stack of images with varying sizes."
+            )
+    frames = stack.as_array()
+    archive = api.compress(
+        frames, block=args.block,
+        dimensions=stack.dims, device=device,
+    )
+    t2 = time.perf_counter()
+    dst = _out_path(src, ".trpx", args.out_dir)
+    _atomic_write(dst, lambda f: write_trpx(archive, f),
+                  durable=args.delete_inputs)
+    if args.index:
+        from ..io.trpx import _compute_offsets, write_index
+
+        # one walk serves offsets AND the v2 width tables, so
+        # decodes of this file skip the header walk entirely
+        offs, wt = _compute_offsets(archive)
+        write_index(dst, offs, archive.meta.memory_size, widths=wt)
+    t3 = time.perf_counter()
+    if args.delete_inputs:
+        print(f"Deleting original TIFF file: {src}")
+        src.unlink()
+    return (frames.nbytes, archive.meta.memory_size,
+            t2 - t1, (t1 - t0) + (t3 - t2))
+
+
+def _run_per_file(names, args, one):
+    """Run ``one(src)`` per eligible file — serially, or on a --jobs
+    thread pool (per-file error recovery either way, terse.cpp:88-90).
+    Returns (done_names, totals list)."""
+    done, results = [], []
+    jobs = max(1, int(getattr(args, "jobs", 1) or 1))
+
+    def guarded(name):
+        try:
+            return name, one(Path(name)), None
+        except Exception as e:
+            return name, None, e
+
+    if jobs == 1:
+        outs = map(guarded, names)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            outs = list(pool.map(guarded, names))
+    for name, res, err in outs:
+        if err is not None:
+            print(f"Error processing {name}: {err}", file=sys.stderr)
+        else:
+            done.append(name)
+            results.append(res)
+    return done, results
+
+
 def _encode_files(args) -> int:
     user_time = io_time = 0.0
     total_tif = total_trpx = 0
@@ -158,12 +233,13 @@ def _encode_files(args) -> int:
     device = False if args.host else None
     if not args.host:
         _configure_jax()
-    for name in args.files:
-        src = Path(name)
-        if not (src.is_file() and src.suffix in _TIF_EXTS):
-            continue  # same skip rule as terse.cpp:45-48
-        try:
-            if args.stream:
+    names = [n for n in args.files
+             if Path(n).is_file() and Path(n).suffix in _TIF_EXTS]
+    # (non-matching args silently skipped — terse.cpp:45-48)
+    if args.stream:
+        for name in names:
+            src = Path(name)
+            try:
                 t0 = time.perf_counter()
                 raw, comp = _encode_streaming(src, args)
                 total_tif += raw
@@ -174,50 +250,17 @@ def _encode_files(args) -> int:
                     src.unlink()
                 n_done += 1
                 done_names.append(name)
-                continue
-            t0 = time.perf_counter()
-            stack = read_tiff(src)
-            t1 = time.perf_counter()
-            if not stack.uniform():
-                if len({im.shape for im in stack}) == 1:
-                    # mixed-dtype stack: regularize to a lossless common
-                    # type (Grey_tif<T>::f_regularize parity,
-                    # Grey_tif.hpp:627-673; see COMPONENTS.md ledger)
-                    stack.regularize()
-                else:
-                    raise ValueError(
-                        "TIFF file contains a stack of images with "
-                        "varying sizes."
-                    )
-            frames = stack.as_array()
-            total_tif += frames.nbytes
-            archive = api.compress(
-                frames, block=args.block,
-                dimensions=stack.dims, device=device,
-            )
-            total_trpx += archive.meta.memory_size
-            t2 = time.perf_counter()
-            dst = _out_path(src, ".trpx", args.out_dir)
-            _atomic_write(dst, lambda f: write_trpx(archive, f),
-                          durable=args.delete_inputs)
-            if args.index:
-                from ..io.trpx import _compute_offsets, write_index
-
-                # one walk serves offsets AND the v2 width tables, so
-                # decodes of this file skip the header walk entirely
-                offs, wt = _compute_offsets(archive)
-                write_index(dst, offs, archive.meta.memory_size,
-                            widths=wt)
-            t3 = time.perf_counter()
-            if args.delete_inputs:
-                print(f"Deleting original TIFF file: {src}")
-                src.unlink()
-            n_done += 1
-            done_names.append(name)
-            user_time += t2 - t1
-            io_time += (t1 - t0) + (t3 - t2)
-        except Exception as e:  # per-file recovery (terse.cpp:88-90)
-            print(f"Error processing {src}: {e}", file=sys.stderr)
+            except Exception as e:  # per-file recovery (terse.cpp:88-90)
+                print(f"Error processing {src}: {e}", file=sys.stderr)
+    else:
+        done_names, results = _run_per_file(
+            names, args, lambda src: _encode_one(src, args, device))
+        n_done = len(done_names)
+        for raw, comp, user_s, io_s in results:
+            total_tif += raw
+            total_trpx += comp
+            user_time += user_s
+            io_time += io_s
     if args.verbose:
         # only files actually processed, matching the reference's verbose
         # report (terse.cpp:94-102 prints per successfully converted file)
@@ -291,12 +334,12 @@ def _decode_files(args) -> int:
     device = False if args.host else None
     if not args.host:
         _configure_jax()
-    for name in args.files:
-        src = Path(name)
-        if not (src.is_file() and src.suffix == ".trpx"):
-            continue
-        try:
-            if args.stream:
+    names = [n for n in args.files
+             if Path(n).is_file() and Path(n).suffix == ".trpx"]
+    if args.stream:
+        for name in names:
+            src = Path(name)
+            try:
                 t0 = time.perf_counter()
                 _decode_streaming(src, args, sel)
                 user_time += time.perf_counter() - t0
@@ -304,7 +347,10 @@ def _decode_files(args) -> int:
                     print(f"Deleting trpx file: {src}")
                     src.unlink()
                 n_done += 1
-                continue
+            except Exception as e:
+                print(f"Error processing {src}: {e}", file=sys.stderr)
+    else:
+        def one(src: Path):
             t0 = time.perf_counter()
             archive = read_trpx(src)
             t1 = time.perf_counter()
@@ -331,11 +377,13 @@ def _decode_files(args) -> int:
             if args.delete_inputs:
                 print(f"Deleting trpx file: {src}")
                 src.unlink()
-            n_done += 1
-            user_time += t2 - t1
-            io_time += (t1 - t0) + (t3 - t2)
-        except Exception as e:
-            print(f"Error processing {src}: {e}", file=sys.stderr)
+            return t2 - t1, (t1 - t0) + (t3 - t2)
+
+        done_names, results = _run_per_file(names, args, one)
+        n_done = len(done_names)
+        for user_s, io_s in results:
+            user_time += user_s
+            io_time += io_s
     if args.verbose:
         print(f"Prolix expanded: {n_done} files")
         print(f"User time      : {user_time:g} seconds")
