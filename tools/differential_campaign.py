@@ -110,7 +110,12 @@ def main() -> int:
     have_oracle = _build_oracle()
     have_native = native.available()
     if use_device:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # env alone loses the backend race to TPU plugins on some boxes;
+        # pin via jax.config BEFORE anything initializes a backend
+        import jax
+
+        jax.config.update(
+            "jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu") or "cpu")
         from trpx_tpu import ops
     rng_master = np.random.default_rng(int(os.environ.get("SEED", 2026)))
     oracle_checked = 0
