@@ -13,5 +13,11 @@ compression format (reference: senikm/trpx, C++ header-only), built TPU-first:
 
 __version__ = "0.1.0"
 
+from .api import compress, decompress, output_dtype  # noqa: F401
 from .format import TrpxArchive, TrpxMeta  # noqa: F401
 from .terse import Terse  # noqa: F401  — jpa::Terse-shaped adapter
+
+__all__ = [
+    "Terse", "TrpxArchive", "TrpxMeta",
+    "compress", "decompress", "output_dtype",
+]
