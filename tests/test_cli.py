@@ -282,3 +282,45 @@ def test_jobs_pool_encode_decode(tmp_path, capsys):
     for k, f in enumerate(frames):
         got = read_tiff(tmp_path / "d" / f"j{k}.tif")
         np.testing.assert_array_equal(np.stack(list(got))[0], f)
+
+
+def test_jobs_duplicate_basenames_no_corruption(tmp_path):
+    """Two inputs sharing a basename under --out-dir collide on one
+    destination; with --jobs the temp files must still be unique so the
+    final archive is a VALID last-writer-wins result, never interleaved
+    bytes from both threads."""
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io.tiff import write_tiff as wtif
+
+    rng = np.random.default_rng(7)
+    frames = [rng.poisson(3.0, (64, 64)).astype(np.uint16)
+              for _ in range(2)]
+    srcs = []
+    for k, f in enumerate(frames):
+        d = tmp_path / f"dir{k}"
+        d.mkdir()
+        wtif(f, d / "x.tif")
+        srcs.append(str(d / "x.tif"))
+    out = tmp_path / "out"
+    out.mkdir()
+    for _ in range(5):  # collision is timing-dependent; a few rounds
+        rc = terse_main(srcs + ["--jobs", "2", "--out-dir", str(out)])
+        assert rc == 0
+        arch = read_trpx(out / "x.trpx")
+        pix = np.asarray(api.decompress(arch)).reshape(64, 64)
+        assert any(np.array_equal(pix, f) for f in frames)
+        assert not list(out.glob("*.tmp"))
+
+
+def test_jobs_stream_notice(tmp_path, capsys):
+    """--jobs is a per-file pool; with --stream it must say it has no
+    effect instead of silently dropping the flag."""
+    from trpx_tpu.cli.main import terse_main
+    from trpx_tpu.io.tiff import write_tiff as wtif
+
+    rng = np.random.default_rng(8)
+    src = tmp_path / "s.tif"
+    wtif(rng.poisson(3.0, (32, 32)).astype(np.uint16), src)
+    rc = terse_main([str(src), "--stream", "--host", "--jobs", "4"])
+    assert rc == 0
+    assert "--jobs has no effect with --stream" in capsys.readouterr().err

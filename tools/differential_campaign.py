@@ -66,15 +66,19 @@ def _in_reference_envelope(vals: np.ndarray, block: int) -> bool:
         return bool(vals.max(initial=0) < 2**32)
     if dt.kind == "i":
         bits = 8 * dt.itemsize
-        flat = vals.reshape(-1)
-        nb = -(-flat.size // block)
-        for b in range(nb):
-            blk = flat[b * block:(b + 1) * block].astype(np.int64)
-            if (blk < 0).any():
-                if np.abs(blk).max() > 2 ** (bits - 2):
+        # blocks restart at every frame (pycodec.encode resets per frame,
+        # matching Terse.hpp:505) — grouping across the flattened array
+        # would misalign membership whenever n % block != 0 and misroute
+        # trials into/out of the oracle comparison
+        for frame in vals:
+            nb = -(-frame.size // block)
+            for b in range(nb):
+                blk = frame[b * block:(b + 1) * block].astype(np.int64)
+                if (blk < 0).any():
+                    if np.abs(blk).max() > 2 ** (bits - 2):
+                        return False
+                elif dt == np.int64 and blk.max(initial=0) >= 2**31:
                     return False
-            elif dt == np.int64 and blk.max(initial=0) >= 2**31:
-                return False
         return True
     return True
 
@@ -93,8 +97,9 @@ def _rand_frames(rng: np.random.Generator):
     if kind == 0:  # sparse poisson + hot pixels (diffraction-like)
         v = rng.poisson(2.0, (F, n)).astype(np.int64)
         v[rng.random((F, n)) < 0.01] = min(hi, 60000)
-    elif kind == 1:  # full-range uniform
-        v = rng.integers(lo, hi, (F, n), dtype=np.int64)
+    elif kind == 1:  # full-range uniform (endpoint=True so the dtype's
+        # exact max — the all-ones width-boundary pattern — is reachable)
+        v = rng.integers(lo, hi, (F, n), dtype=np.int64, endpoint=True)
     elif kind == 2:  # constant / zero runs (repeat-header stress)
         v = np.zeros((F, n), np.int64)
         v[:, :: max(1, n // 7)] = int(rng.integers(0, 100))
@@ -105,8 +110,9 @@ def _rand_frames(rng: np.random.Generator):
 
 
 def main() -> int:
-    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     use_device = "--device" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_trials = int(pos[0]) if pos else 1000
     have_oracle = _build_oracle()
     have_native = native.available()
     if use_device:
@@ -143,6 +149,10 @@ def main() -> int:
             if use_device and vals.dtype.itemsize <= 4:
                 dev = ops.encode(vals, block=block)
                 assert dev.to_bytes() == blob, "device encode != pycodec"
+                dback = ops.decode(ref, vals.dtype)
+                assert np.array_equal(
+                    np.asarray(dback).reshape(vals.shape), vals), \
+                    "device decode mismatch"
             if have_oracle and _in_reference_envelope(vals, block):
                 shim_dt = vals.dtype.kind + str(8 * vals.dtype.itemsize)
                 r = subprocess.run(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 
 import numpy as np
 
@@ -36,9 +37,19 @@ _DEVICE_KINDS = {
 _DEVICE_MIN_BYTES = 4 << 20
 
 _ACCEL_BACKEND: bool | None = None
+#: a --jobs pool hits the undecided probe from N threads at once; without
+#: a lock each would launch its own 10-45 s discovery subprocess
+_ACCEL_LOCK = threading.Lock()
 
 
 def _accel_backend() -> bool:
+    if _ACCEL_BACKEND is not None:  # fast path, no lock once decided
+        return _ACCEL_BACKEND
+    with _ACCEL_LOCK:
+        return _accel_backend_locked()
+
+
+def _accel_backend_locked() -> bool:
     """True when jax's default backend is an accelerator. Auto-routing
     (``device=None``) only prefers the device path then: on a CPU-only
     box the XLA-CPU merge tree runs ~7 frames/s at 512² while the native

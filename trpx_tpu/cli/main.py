@@ -22,9 +22,11 @@ The ``trpx`` umbrella command adds ``info`` and explicit ``encode``/
 from __future__ import annotations
 
 import argparse
+import contextlib
 import math
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -69,14 +71,25 @@ def _atomic_write(path: Path, writer, durable: bool = True) -> None:
     reference deletes with no fsync at all, so a crash can lose data,
     SURVEY §5). Without deletion the input still exists, so callers pass
     durable=False and skip the ~2 ms/file fsync (it dominated the
-    many-small-files CLI loop)."""
-    tmp = path.with_name(path.name + ".tmp")
-    with open(tmp, "wb") as f:
-        writer(f)
-        if durable:
-            f.flush()
-            os.fsync(f.fileno())
-    os.replace(tmp, path)
+    many-small-files CLI loop).
+
+    The temp name must be unique per call, not per destination: under
+    --jobs two inputs with the same basename and a shared --out-dir
+    would otherwise interleave writes into one shared ``.tmp`` and
+    os.replace corrupted bytes over the destination."""
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent),
+                               prefix=path.name + ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            writer(f)
+            if durable:
+                f.flush()
+                os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def _common_flags(p: argparse.ArgumentParser) -> None:
@@ -196,6 +209,15 @@ def _encode_one(src: Path, args, device) -> tuple[int, int, float, float]:
             t2 - t1, (t1 - t0) + (t3 - t2))
 
 
+def _warn_jobs_stream(args) -> None:
+    """--jobs applies to the per-file pool only; --stream pipelines one
+    file's frames (read/encode/write already overlap) and runs files
+    serially. Say so rather than silently dropping the flag."""
+    if int(getattr(args, "jobs", 1) or 1) > 1:
+        print("note: --jobs has no effect with --stream "
+              "(files are pipelined one at a time)", file=sys.stderr)
+
+
 def _run_per_file(names, args, one):
     """Run ``one(src)`` per eligible file — serially, or on a --jobs
     thread pool (per-file error recovery either way, terse.cpp:88-90).
@@ -237,6 +259,7 @@ def _encode_files(args) -> int:
              if Path(n).is_file() and Path(n).suffix in _TIF_EXTS]
     # (non-matching args silently skipped — terse.cpp:45-48)
     if args.stream:
+        _warn_jobs_stream(args)
         for name in names:
             src = Path(name)
             try:
@@ -305,21 +328,20 @@ def _decode_streaming(src: Path, args, sel) -> None:
     device = False if args.host else None
     F = meta.number_of_frames
     dst = _out_path(src, ".tif", args.out_dir)
-    tmp = dst.with_name(dst.name + ".tmp")
     # decoded size is known up front from the archive metadata; switch to
     # BigTIFF (64-bit offsets) when classic TIFF's 4 GiB cap would trip
     itemsize = api.output_dtype(meta).itemsize
     pixel_bytes = F * meta.number_of_values * itemsize
-    with open(tmp, "wb") as f:
+
+    def _write_chunks(f) -> None:
         wtr = TiffWriter(f, bigtiff=needs_bigtiff(pixel_bytes, F))
         for lo in range(0, F, args.chunk_frames):
             hi = min(F, lo + args.chunk_frames)
             pix = api.decompress(archive, device=device,
                                  frames=slice(lo, hi))
             wtr.append(np.asarray(pix).reshape(hi - lo, h, w))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, dst)
+
+    _atomic_write(dst, _write_chunks, durable=True)
 
 
 def _decode_files(args) -> int:
@@ -337,6 +359,7 @@ def _decode_files(args) -> int:
     names = [n for n in args.files
              if Path(n).is_file() and Path(n).suffix == ".trpx"]
     if args.stream:
+        _warn_jobs_stream(args)
         for name in names:
             src = Path(name)
             try:
