@@ -83,11 +83,23 @@ def _in_reference_envelope(vals: np.ndarray, block: int) -> bool:
     return True
 
 
-def _rand_frames(rng: np.random.Generator):
+#: --device mode draws (F, n, block) from this fixed palette: every unique
+#: shape costs a full XLA trace+compile (seconds to minutes each), so
+#: unbounded random shapes make a device soak compile-bound and it never
+#: finishes. Random DATA still covers the semantics; shape-dependent
+#: routing is covered by tools/tpu_size_matrix.py.
+DEVICE_SHAPES = [(1, 144, 12), (3, 144, 12), (2, 1000, 12), (4, 1000, 16),
+                 (2, 4096, 12), (1, 4095, 12)]
+
+
+def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
     dtype = np.dtype(DTYPES[rng.integers(0, len(DTYPES))])
-    F = int(rng.integers(1, 5))
-    n = int(rng.integers(1, 2000))
-    block = int(rng.choice([3, 7, 12, 12, 12, 16, 64]))
+    if fixed_shapes:
+        F, n, block = DEVICE_SHAPES[rng.integers(0, len(DEVICE_SHAPES))]
+    else:
+        F = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 2000))
+        block = int(rng.choice([3, 7, 12, 12, 12, 16, 64]))
     kind = rng.integers(0, 4)
     info = np.iinfo(dtype)
     # generate in int64 then clip into an int64-SAFE window of the dtype
@@ -128,7 +140,7 @@ def main() -> int:
     for t in range(n_trials):
         seed = int(rng_master.integers(0, 2**31))
         rng = np.random.default_rng(seed)
-        vals, block = _rand_frames(rng)
+        vals, block = _rand_frames(rng, fixed_shapes=use_device)
         ctx = f"trial {t} seed {seed} dtype {vals.dtype} F,n={vals.shape} block {block}"
         try:
             ref = pycodec.encode(list(vals), block=block)
