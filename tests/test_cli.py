@@ -312,6 +312,20 @@ def test_jobs_duplicate_basenames_no_corruption(tmp_path):
         assert not list(out.glob("*.tmp"))
 
 
+def test_atomic_write_honors_umask(tmp_path):
+    """mkstemp temp files are 0600; the rename target must end up with
+    normal umask-honoring permissions like a plain open() output."""
+    import os as _os
+
+    from trpx_tpu.cli.main import _atomic_write
+
+    dst = tmp_path / "o.bin"
+    _atomic_write(dst, lambda f: f.write(b"x"), durable=False)
+    umask = _os.umask(0)
+    _os.umask(umask)
+    assert (dst.stat().st_mode & 0o777) == (0o666 & ~umask)
+
+
 def test_jobs_stream_notice(tmp_path, capsys):
     """--jobs is a per-file pool; with --stream it must say it has no
     effect instead of silently dropping the flag."""

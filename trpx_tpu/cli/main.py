@@ -80,6 +80,11 @@ def _atomic_write(path: Path, writer, durable: bool = True) -> None:
     fd, tmp = tempfile.mkstemp(dir=str(path.parent),
                                prefix=path.name + ".", suffix=".tmp")
     try:
+        # mkstemp creates 0600; restore umask-honoring permissions so
+        # outputs stay group/world-readable like a plain open() would be
+        umask = os.umask(0)
+        os.umask(umask)
+        os.fchmod(fd, 0o666 & ~umask)
         with os.fdopen(fd, "wb") as f:
             writer(f)
             if durable:
