@@ -37,6 +37,12 @@ def test_two_process_shard_encode(tmp_path):
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # the worker script lives in tests/, so sys.path[0] is tests/ — make
+    # the repo root importable regardless of how pytest was launched
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(WORKER.parent.parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(port), str(nproc), str(pid),
@@ -79,6 +85,12 @@ def test_shard_crash_recovery(tmp_path):
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # the worker script lives in tests/, so sys.path[0] is tests/ — make
+    # the repo root importable regardless of how pytest was launched
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(WORKER.parent.parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     env["TRPX_TEST_CRASH_PID"] = "1"
     procs = [
         subprocess.Popen(
