@@ -65,6 +65,14 @@ def _configure_jax() -> None:
             pass
 
 
+# The process umask, read ONCE at import (the import lock serializes
+# module bodies). os.umask is process-wide state: the read-by-set idiom
+# (umask(0) then restore) racing across the --jobs thread pool could
+# observe 0 and chmod an output world-writable.
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
+
 def _atomic_write(path: Path, writer, durable: bool = True) -> None:
     """Write-to-temp + rename. ``durable=True`` fsyncs before the rename
     — REQUIRED whenever the caller goes on to delete the input (the
@@ -82,9 +90,7 @@ def _atomic_write(path: Path, writer, durable: bool = True) -> None:
     try:
         # mkstemp creates 0600; restore umask-honoring permissions so
         # outputs stay group/world-readable like a plain open() would be
-        umask = os.umask(0)
-        os.umask(umask)
-        os.fchmod(fd, 0o666 & ~umask)
+        os.fchmod(fd, 0o666 & ~_UMASK)
         with os.fdopen(fd, "wb") as f:
             writer(f)
             if durable:
