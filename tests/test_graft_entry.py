@@ -23,7 +23,11 @@ def test_dryrun_multichip_clean_env():
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    env["PYTHONPATH"] = str(REPO)
+    # prepend-and-preserve (same pattern as test_multiprocess.py): jax or
+    # other deps may themselves be supplied via an inherited PYTHONPATH
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     # keep the subprocess off any tunneled accelerator runtime entirely:
     # the dry run must not depend on one being reachable
     r = subprocess.run(

@@ -69,6 +69,13 @@ def _configure_jax() -> None:
 # module bodies). os.umask is process-wide state: the read-by-set idiom
 # (umask(0) then restore) racing across the --jobs thread pool could
 # observe 0 and chmod an output world-writable.
+#
+# Library-embedding caveat: the import lock only serializes module
+# bodies — a non-importing thread of an embedding process that creates
+# files during this import window still races the momentary umask(0),
+# and umask changes made AFTER import are not picked up by
+# _atomic_write. Acceptable for the CLI (imported before the --jobs
+# pool exists); embedders who chdir through umasks should not.
 _UMASK = os.umask(0)
 os.umask(_UMASK)
 
