@@ -147,9 +147,15 @@ def bench_512(jax, jnp, F, reps):
     words, bits, maxw, _ = jax.device_get(enc(x))
     arch = assemble_archive(spec, words, bits, maxw)
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
-    t0 = time.perf_counter()
-    widths, poffs, wbuf = walk_archive(arch, spec)
-    walk_s = time.perf_counter() - t0  # steady-state (serial, no sidecar)
+    # median of reps: the walk shares the 4 host cores with the JAX
+    # runtime's service threads, and a single sample can catch a burst
+    # of contention (observed 10x outliers on driver runs)
+    walk_ts = []
+    for _ in range(max(3, min(reps, 5))):
+        t0 = time.perf_counter()
+        widths, poffs, wbuf = walk_archive(arch, spec)
+        walk_ts.append(time.perf_counter() - t0)
+    walk_s = statistics.median(walk_ts)  # steady-state (serial, no sidecar)
 
     dec_name = "jnp-tree"
     try:
@@ -229,9 +235,12 @@ def bench_2k(jax, jnp, reps):
 
     arch = assemble_archive(spec, words, bits, maxw)
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
-    t0 = time.perf_counter()
-    widths, _poffs, wbuf = walk_archive(arch, spec)
-    walk_s = time.perf_counter() - t0
+    walk_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        widths, _poffs, wbuf = walk_archive(arch, spec)
+        walk_ts.append(time.perf_counter() - t0)
+    walk_s = statistics.median(walk_ts)
     words_t, shift, prev0, ratio = tile_prepass(spec, widths, wbuf)
     wt, wd = jnp.asarray(words_t), jnp.asarray(widths)
     sh, pv = jnp.asarray(shift), jnp.asarray(prev0)
