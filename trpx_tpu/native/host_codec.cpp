@@ -16,6 +16,7 @@
 //
 // Build: g++ -O3 -std=c++20 -shared -fPIC (no external dependencies).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <type_traits>
@@ -135,14 +136,38 @@ static inline int parse_header(uint64_t bits, int& width) {
     return 12;
 }
 
-// Walk the block headers of one frame with a CACHED 8-byte window: a
-// header needs at most 12 bits, so one unaligned load serves every
-// header that starts within its first 52 bits — small-width blocks
-// (e.g. width 3: 40 bits/block) parse ~2 headers per load, and runs of
-// zero-width repeat blocks (1 bit each) parse ~50 per load. ~5x the
-// original 16-byte-window BitReader. (A branchless cmov parse was tried
-// and measured SLOWER on real diffraction streams: repeat headers come
-// in long, well-predicted runs, so the branchy early-out wins.)
+// A header is at most 12 bits, so its next 12 bits fully determine it:
+// precompute every header form into a 4096-entry table (8 KiB, L1-hot).
+// Entry packing: bits 0..5 = header length, 6..13 = explicit width,
+// bit 14 = repeat flag (length 1, width stays).
+inline constexpr std::array<uint16_t, 4096> kHeaderLut = [] {
+    std::array<uint16_t, 4096> lut{};
+    for (uint32_t bits = 0; bits < 4096; ++bits) {
+        if (bits & 1) { lut[bits] = 1 | (1u << 14); continue; }
+        int wf = (int)((bits >> 1) & 7), hb, width;
+        if (wf < 7) { width = wf; hb = 4; }
+        else {
+            wf += (int)((bits >> 4) & 3);
+            if (wf < 10) { width = wf; hb = 6; }
+            else { width = wf + (int)((bits >> 6) & 63); hb = 12; }
+        }
+        lut[bits] = (uint16_t)(hb | (width << 6));
+    }
+    return lut;
+}();
+
+// Walk the block headers of one frame. Two fast paths over a scalar
+// LUT loop (all three measured against real diffraction streams — see
+// tools/walk_bench.py; the per-block branchy/cached-window variants of
+// rounds 1-2 lose to this on every profile):
+//  * zero-width runs: repeat headers are 1 bit and carry no payload, so
+//    one 8-byte load covers a run of up to ~56 via ctz of the inverted
+//    window (sparse/dark frames walk at several hundred Mblk/s);
+//  * everything else: one fresh unaligned 8-byte load per block + the
+//    12-bit header LUT. The repeat/explicit branch predicts well on
+//    diffraction data (widths come in runs), and during a run the next
+//    load's address resolves one add after the previous — loads stay
+//    pipelined instead of serializing on a cached-window refill test.
 // Returns false if the walk ran past the payload.
 inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
                         uint64_t& pos, int& width, int& wmax,
@@ -153,27 +178,48 @@ inline bool walk_blocks(const uint8_t* buf, uint64_t payload_len,
     const uint64_t blk = (uint64_t)block;
     int64_t b = 0;
     while (b < nblocks) {
+        // one bounds check per block: loads past the logical end are
+        // safe (callers guarantee >= 16 bytes of slack), and a runaway
+        // walk advances `base` every iteration, so it is caught here
         uint64_t base = pos >> 3;
-        // one bounds check per REFILL (not per block): loads past the
-        // logical end are safe (callers guarantee >= 16 bytes of slack),
-        // and a runaway walk advances `base` every iteration, so it is
-        // caught within one window
         if (base >= payload_len) return false;
+        if (width == 0) {
+            // zero-width repeats: 1 bit each, no payload for ANY count
+            // (the last block's partial tail included)
+            uint64_t w64;
+            std::memcpy(&w64, buf + base, 8);
+            uint64_t off = pos & 7;
+            uint64_t inv = ~(w64 >> off);
+            int m = inv ? __builtin_ctzll(inv) : (int)(64 - off);
+            if (m > (int)(56 - off)) m = (int)(56 - off);
+            if (m > nblocks - b) m = (int)(nblocks - b);
+            if (m > 0) {
+                for (int k = 0; k < m; ++k) {
+                    widths[b + k] = 0;
+                    if (poffs) poffs[b + k] = (int64_t)(pos + k + 1);
+                }
+                pos += (uint64_t)m;
+                b += m;
+                continue;
+            }
+        }
         uint64_t w64;
         std::memcpy(&w64, buf + base, 8);
-        uint64_t off = pos & 7;
-        // parse every header that starts within the window's first
-        // 52 bits — ~2 per load at width 3, ~50 across zero-width runs
-        while (off <= 52) {
-            int hb = parse_header(w64 >> off, width);
+        uint16_t e = kHeaderLut[(w64 >> (pos & 7)) & 0xFFF];
+        uint64_t cnt = (b == last) ? tail : blk;
+        if (e & (1u << 14)) {  // repeat header
+            widths[b] = width;
+            if (poffs) poffs[b] = (int64_t)(pos + 1);
+            pos += 1 + (uint64_t)width * cnt;
+        } else {
+            int hb = e & 63;
+            width = (int)((e >> 6) & 255);
             if (width > wmax) wmax = width;
             widths[b] = width;
-            if (poffs) poffs[b] = (int64_t)(base * 8 + off + (uint64_t)hb);
-            off += (uint64_t)hb
-                 + (uint64_t)width * (b == last ? tail : blk);
-            if (++b >= nblocks) break;
+            if (poffs) poffs[b] = (int64_t)(pos + (uint64_t)hb);
+            pos += (uint64_t)hb + (uint64_t)width * cnt;
         }
-        pos = base * 8 + off;
+        ++b;
     }
     return true;
 }
