@@ -45,7 +45,15 @@ HBM_GBS = {
 
 
 def _rtt_timer(null_fn, reps):
-    rtt = statistics.median(
+    """Tunnel-robust timer: the RTT drifts by 10+ ms over a bench run
+    (observed 26 -> 44 ms between sections, which once pushed a
+    median-RTT correction past the measured step time and clamped the
+    result to nonsense). Each ``measure`` therefore interleaves null-op
+    and step samples in the SAME window and subtracts min(null) from
+    min(step): with strictly additive queueing noise, min-of-N is the
+    noise-floor estimator, and interleaving keeps both mins under the
+    same drift regime."""
+    rtt0 = min(
         (lambda t0: (null_fn(), time.perf_counter() - t0)[1])(
             time.perf_counter()
         )
@@ -53,14 +61,17 @@ def _rtt_timer(null_fn, reps):
     )
 
     def measure(step_fn):
-        ts = []
+        ts, nulls = [], []
         for _ in range(reps):
+            t0 = time.perf_counter()
+            null_fn()
+            nulls.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             step_fn()
             ts.append(time.perf_counter() - t0)
-        return max(statistics.median(ts) - rtt, 1e-9), ts
+        return max(min(ts) - min(nulls), 1e-9), ts
 
-    return rtt, measure
+    return rtt0, measure
 
 
 def _synth(jax, jnp, spec, F, hot_val, seed=0):

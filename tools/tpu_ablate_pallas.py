@@ -53,11 +53,11 @@ def main():
         return jnp.uint32(fr[0, 0])
 
     int(null(x))
-    rtt = statistics.median(
+    rtt = min(
         (lambda t0: (int(null(x)), time.perf_counter() - t0)[1])(
             time.perf_counter())
-        for _ in range(7)
-    )
+        for _ in range(9)
+    )  # min, to pair with the min-of-N step timer below
     print(f"RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
 
     cuts = [-1, 0] + sorted(set(
@@ -75,12 +75,17 @@ def main():
                     + jnp.uint32(o.sum()))
 
         int(step(x))
+        # the tunnel's RTT jitter is several ms — comparable to the
+        # quantity measured — so 5-sample medians produced garbage
+        # deltas (even negative); take the MINIMUM of more samples
+        # (min-of-N is the standard noise-floor estimator when noise is
+        # strictly additive, as queueing delay is)
         ts = []
-        for _ in range(5):
+        for _ in range(15):
             t0 = time.perf_counter()
             int(step(x))
             ts.append(time.perf_counter() - t0)
-        t = max(statistics.median(ts) - rtt, 1e-9)
+        t = max(min(ts) - rtt, 1e-9)
         ms = t * 1e3
         label = ("plan" if cut == -1 else
                  "stage" if cut == 0 else
