@@ -1,15 +1,21 @@
 """Ablation of the Pallas VMEM encode kernel: where do the ms go?
 
 Times encode_batch_pallas cut at successive stages (plan only, stage
-rows only, then after k merge levels) on the real chip, RTT-corrected
-(CLAUDE.md measurement rules). Run: python tools/tpu_ablate_pallas.py
-[F] [cap_ratio].
+rows only, then after k merge levels) on the real chip with the
+SLOPE methodology (round 3): each cut is timed as a chain of N kernel
+invocations over N DISTINCT input batches inside one jit — distinct
+inputs defeat XLA's CSE (identical pure calls get deduplicated; this
+bit the first slope attempt), and the chain-length slope
+(t[N2] - t[N1]) / (N2 - N1) cancels every constant offset (tunnel RTT,
+dispatch, fetch) exactly. Single-launch minus-RTT timing on this box
+cannot resolve <25% differences — two interleaved min-of-15 windows
+flatly contradicted each other.
 
+Run: python tools/tpu_ablate_pallas.py [F] [cap_ratio].
 Results land in BASELINE.md's ablation table.
 """
 
 import os
-import statistics
 import sys
 import time
 
@@ -27,6 +33,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from trpx_tpu.ops.coding import FrameSpec  # noqa: E402
 from trpx_tpu.ops.pallas_pack import encode_batch_pallas  # noqa: E402
 
+N1, N2 = 1, 9  # chain lengths; slope over the 8-call difference
+
 
 def main():
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 256
@@ -38,27 +46,26 @@ def main():
     levels = (P // L - 1).bit_length() + (L - 1).bit_length()
     print(f"P={P} levels={levels} caps={spec.pack_caps}", file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
     n_full = P * spec.block
-    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
-    lane = jnp.arange(n_full)[None, :]
-    x = jnp.where(lane < n, x, 0)
-    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
-           < 200.0 / n)
-    x = jnp.where(hot & (lane < n), jnp.uint16(60000), x)
-    jax.block_until_ready(x)
 
-    @jax.jit
-    def null(fr):
-        return jnp.uint32(fr[0, 0])
+    def synth(seed):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
+        lane = jnp.arange(n_full)[None, :]
+        x = jnp.where(lane < n, x, 0)
+        hot = (jax.random.uniform(jax.random.fold_in(key, 1),
+                                  (F, n_full)) < 200.0 / n)
+        return jnp.where(hot & (lane < n), jnp.uint16(60000), x)
 
-    int(null(x))
-    rtt = min(
-        (lambda t0: (int(null(x)), time.perf_counter() - t0)[1])(
-            time.perf_counter())
-        for _ in range(9)
-    )  # min, to pair with the min-of-N step timer below
-    print(f"RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
+    xs = [jax.block_until_ready(synth(s)) for s in range(N2)]
+
+    def tmin(fn, args, reps=7):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     cuts = [-1, 0] + sorted(set(
         list(range(2, levels + 1, 2)) + [levels, (P // L - 1).bit_length()]
@@ -68,24 +75,22 @@ def main():
     for cut in cuts:
         c = None if cut >= levels else cut
 
-        @jax.jit
-        def step(fr, c=c):
-            w, b, m, o = encode_batch_pallas(spec, fr, False, c)
-            return (jnp.uint32(b.sum()) + w[0, 0] + w[-1, -1]
-                    + jnp.uint32(o.sum()))
+        def mk(chain, c=c):
+            @jax.jit
+            def step(*arrs):
+                chk = jnp.uint32(0)
+                for i in range(chain):
+                    w, b, m, o = encode_batch_pallas(spec, arrs[i],
+                                                     False, c)
+                    chk = (chk + jnp.uint32(b.sum()) + w[0, 0]
+                           + jnp.uint32(o.sum()))
+                return chk
+            return step
 
-        int(step(x))
-        # the tunnel's RTT jitter is several ms — comparable to the
-        # quantity measured — so 5-sample medians produced garbage
-        # deltas (even negative); take the MINIMUM of more samples
-        # (min-of-N is the standard noise-floor estimator when noise is
-        # strictly additive, as queueing delay is)
-        ts = []
-        for _ in range(15):
-            t0 = time.perf_counter()
-            int(step(x))
-            ts.append(time.perf_counter() - t0)
-        t = max(min(ts) - rtt, 1e-9)
+        f1, f2 = mk(N1), mk(N2)
+        int(f1(*xs[:N1]))
+        int(f2(*xs[:N2]))
+        t = max((tmin(f2, xs[:N2]) - tmin(f1, xs[:N1])) / (N2 - N1), 1e-9)
         ms = t * 1e3
         label = ("plan" if cut == -1 else
                  "stage" if cut == 0 else
@@ -93,7 +98,7 @@ def main():
         rows.append((label, ms, ms - prev_ms, F / t))
         prev_ms = ms
         print(f"{label:18s} {ms:8.2f} ms  (+{rows[-1][2]:.2f})  "
-              f"{F / t:10,.0f} fps", file=sys.stderr)
+              f"{F / t:10,.0f} fps", file=sys.stderr, flush=True)
 
     print("| cut | cumulative ms | delta ms | fps |")
     print("|---|---|---|---|")

@@ -108,21 +108,26 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
     return width, hb, hv, counts
 
 
-def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
-            n_total: int | None = None, cut: int | None = None,
-            natural: bool = False):
-    """One frame (or one TILE of a big frame, when ``carry_ref``/``n_total``
-    are provided and the grid is (F, T)).
+def _cut_row(chk, ow: int):
+    """Ablation early-exit row: a full-tensor checksum (so nothing traced
+    so far is dead-code-eliminated) splattered over the output row."""
+    return jnp.broadcast_to(chk.astype(_U32)[None, None], (1, ow))
 
-    ``carry_ref`` is a (1,) SMEM scratch that carries the previous tile's
-    last block width across the sequential T grid steps (the repeat-coding
-    chain crosses tile boundaries, Terse.hpp:517-535); at t == 0 the chain
-    resets, so the carry never leaks between frames even when a Megacore
-    splits the F axis.
 
-    ``cut`` (ablation only, tools/tpu_ablate.py): stop after that many
-    merge levels (0 = stage only, -1 = plan only) and emit a checksum —
-    times where the kernel's ms go."""
+def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
+                 n_total: int | None = None, cut: int | None = None,
+                 block_offset=None, prev0=None, want_carry: bool = False):
+    """Encode ONE frame (or tile) given its (R, L) value planes.
+
+    Pure arrays -> arrays: returns (row — (1, ow_pad) uint32 packed words
+    with the three scalar tail lanes — and the frame's LAST block width,
+    for the tiled carry chain; 0 unless ``want_carry``). Keeping the body
+    free of refs lets _kernel run it both one-per-grid-step and under a
+    fori_loop over a multi-frame block (grid-step amortization).
+
+    ``cut`` (ablation only, tools/tpu_ablate_pallas.py): stop after that
+    many merge levels (0 = stage only, -1 = plan only) and emit a
+    checksum row — times where the kernel's ms go."""
     B = spec.block
     P = spec.tree_rows
     # sublane-align the level-0 capacity (e.g. uint8's 4 words -> 8)
@@ -132,59 +137,24 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     L = min(128, P)
     R = P // L
 
-    tiled = carry_ref is not None
-    if tiled:
-        f = pl.program_id(0)
-        t = pl.program_id(1)
-        block_offset = t * P
-        prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
-    else:
-        f = pl.program_id(0)
-        block_offset = None
-        prev0 = None
-
-    # input planes [j, r, l] = value j of block b = r + R*l. ``natural``
-    # mode takes the frame in its NATURAL (L, R, B) layout and transposes
-    # in VMEM (one supported 2-D transpose + middle-axis slices) — the
-    # XLA-side (F,L,R,B)->(F,B,R,L) materialization this replaces cost
-    # ~40% of encode wall time (measured round 2)
-    if natural:
-        # block arrives as (1, L, R*B) — the frame's NATIVE flat layout
-        xi = (frame_ref[0, 0] if tiled else frame_ref[0]).astype(_I32)
-        xt = xi.T                                           # (R*B, L)
-        x3 = xt.reshape(R, B, L)
-        vplanes = [x3[:, j, :] for j in range(B)]
-    elif tiled:
-        vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
-    else:
-        vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
     width, hb, hv, counts = _plan_planes(
         spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
         prev0=prev0,
     )
-    if tiled:
-        # hand this tile's last-block width to the next grid step (the
-        # final tile's store is never consumed; masked-max extraction —
-        # plain scalar extraction from a 2-D vector trips Mosaic)
+    if want_carry:
+        # the tile's last block width, for the next grid step (masked-max
+        # extraction — plain scalar extraction from a 2-D vector trips
+        # Mosaic)
         r_i = jax.lax.broadcasted_iota(_I32, (R, L), 0)
         l_i = jax.lax.broadcasted_iota(_I32, (R, L), 1)
         last = (r_i == R - 1) & (l_i == L - 1)
-        carry_ref[0] = jnp.max(jnp.where(last, width, _I32(0)))
-
-    def _emit_cut(chk):
-        # ablation early-exit: a full-tensor checksum (so nothing traced
-        # so far is dead-code-eliminated) splattered over the output row
-        ow = words_ref.shape[-1]
-        row = jnp.broadcast_to(chk.astype(_U32)[None, None], (1, ow))
-        if tiled:
-            words_ref[0, 0, :, :] = row
-        else:
-            words_ref[0, :, :] = row
+        lastw = jnp.max(jnp.where(last, width, _I32(0)))
+    else:
+        lastw = _I32(0)
 
     if cut is not None and cut < 0:  # plan only
-        _emit_cut(jnp.sum(width + hb + counts)
-                  + jnp.sum(hv.astype(_I32)))
-        return
+        return _cut_row(jnp.sum(width + hb + counts)
+                        + jnp.sum(hv.astype(_I32)), ow_pad), lastw
 
     wmask = jnp.where(
         width >= 32,
@@ -242,9 +212,8 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     state = jnp.stack(cols, axis=1)                         # (R, cap, L)
     lengths = (hb + width * counts).astype(_I32)            # (R, L)
     if cut == 0:  # stage only
-        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                  + jnp.sum(lengths))
-        return
+        return _cut_row(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
+                        + jnp.sum(lengths), ow_pad), lastw
 
     overflow = jnp.zeros((), bool)
     C = cap
@@ -300,9 +269,9 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
                 state = state[:, :c, :]
                 C = c
         if cut is not None and level >= cut:
-            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                      + jnp.sum(lengths))
-            return
+            return _cut_row(
+                jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
+                + jnp.sum(lengths), ow_pad), lastw
 
     # ---- transition: 128 lane-trees -> (L, S, 128) word grids -----------
     C128 = _round_up(C, 128)
@@ -366,12 +335,11 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
                 state3 = state3[:, : c // 128, :]
                 C = c
         if cut is not None and level >= cut:
-            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
-                      + jnp.sum(lp))
-            return
+            return _cut_row(
+                jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
+                + jnp.sum(lp), ow_pad), lastw
 
     words2 = state3.reshape(1, C)                           # (1, C_final)
-    ow_pad = words_ref.shape[-1]
     if ow_pad <= words2.shape[1]:
         words2 = words2[:, :ow_pad]
     else:
@@ -389,10 +357,60 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     wi = jnp.where(lane_i == ow_pad - 2, jnp.max(width), wi)
     wi = jnp.where(lane_i == ow_pad - 1, overflow.astype(_I32), wi)
     words2 = jax.lax.bitcast_convert_type(wi, _U32)
+    return words2, lastw
+
+
+def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
+            n_total: int | None = None, cut: int | None = None,
+            natural: bool = False):
+    """One grid step: one frame (untiled) or one TILE of a big frame
+    (when ``carry_ref``/``n_total`` are provided, grid (F, T)).
+
+    ``carry_ref`` is a (1,) SMEM scratch that carries the previous tile's
+    last block width across the sequential T grid steps (the repeat-coding
+    chain crosses tile boundaries, Terse.hpp:517-535); at t == 0 the chain
+    resets, so the carry never leaks between frames even when a Megacore
+    splits the F axis.
+
+    (A multi-frame-per-step variant — fori_loop over a grouped block with
+    dynamic leading-dim ref indexing — was measured round 3 at +-1% of
+    one-per-step on v5e under CSE-proof chained timing: per-grid-step
+    overhead is <0.3 us, so it was removed.)"""
+    B = spec.block
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    ow_pad = words_ref.shape[-1]
+    tiled = carry_ref is not None
+
+    def natural_planes(xi):
+        # input planes [j, r, l] = value j of block b = r + R*l from the
+        # frame's NATIVE flat layout: one in-VMEM 2-D transpose + middle-
+        # axis slices (the XLA-side (F,L,R,B)->(F,B,R,L) materialization
+        # this replaces cost ~40% of encode wall time, measured round 2)
+        xt = xi.astype(_I32).T                              # (R*B, L)
+        x3 = xt.reshape(R, B, L)
+        return [x3[:, j, :] for j in range(B)]
+
     if tiled:
-        words_ref[0, 0, :, :] = words2
+        t = pl.program_id(1)
+        prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
+        if natural:
+            vplanes = natural_planes(frame_ref[0, 0])
+        else:
+            vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
+        row, lastw = _encode_body(
+            spec, vplanes, ow_pad, n_total=n_total, cut=cut,
+            block_offset=t * P, prev0=prev0, want_carry=True)
+        # hand this tile's last-block width to the next grid step (the
+        # final tile's store is never consumed)
+        carry_ref[0] = lastw
+        words_ref[0, 0, :, :] = row
     else:
-        words_ref[0, :, :] = words2
+        vplanes = (natural_planes(frame_ref[0]) if natural
+                   else [frame_ref[0, j].astype(_I32) for j in range(B)])
+        row, _ = _encode_body(spec, vplanes, ow_pad, cut=cut)
+        words_ref[0, :, :] = row
 
 
 def _round_up(x: int, m: int) -> int:
@@ -492,10 +510,10 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
 
     Returns (words (F, out_words), bits (F,), maxw (F,), over (F,)) —
     the same contract as ops.coding.encode_batch_device. ``cut`` is the
-    ablation early-exit (see _kernel); production callers leave it None.
-    ``pre_arranged``: the input is already in kernel layout (F, B, R, L)
-    (value v = B*(r + R*l) + j at [f, j, r, l]) — skips the device-side
-    transpose for hosts that arrange during ingest.
+    ablation early-exit (see _encode_body); production callers leave it
+    None. ``pre_arranged``: the input is already in kernel layout
+    (F, B, R, L) (value v = B*(r + R*l) + j at [f, j, r, l]) — skips the
+    device-side transpose for hosts that arrange during ingest.
     """
     B = spec.block
     P = spec.tree_rows

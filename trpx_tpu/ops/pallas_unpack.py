@@ -64,35 +64,33 @@ def _node_cap_words(child_blocks: int, mbb: int, cap0: int,
     return min(worst, -(-int(child_blocks * mbb * ratio) // 32) + slack)
 
 
-def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
-            words_ref, widths_ref, out_ref, shift_ref=None,
-            prev_ref=None, n_total: int | None = None,
-            cut: int | None = None):
-    """One frame — or one TILE of a big frame when ``shift_ref``/
-    ``prev_ref``/``n_total`` are provided and the grid is (F, T): the
-    tile's word window starts ``shift`` bits before the tile stream
-    (host-aligned to the word), the repeat-coding chain enters with the
-    previous tile's last width, and block indices shift by t*P into the
-    global frame (mirrors pallas_pack's tiled encode)."""
+def _cut_block(chk, L: int, RB: int):
+    """Ablation early-exit block (tools/tpu_ablate_decode.py): full-
+    tensor checksum so nothing traced so far is dead-code-eliminated."""
+    return jnp.broadcast_to(chk.astype(_I32), (L, RB))
+
+
+def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
+                 words_row, width_nat, prev0, s0=None,
+                 block_offset=None, n_total: int | None = None,
+                 cut: int | None = None):
+    """Decode ONE frame (or tile) given its word window and widths.
+
+    Pure arrays -> arrays: ``words_row`` is the (1, w_pad) uint32 word
+    window, ``width_nat`` the (L, R) NATURAL-layout width plane (the body
+    transposes in VMEM), ``prev0`` the repeat-chain entry width, ``s0``
+    the sub-word bit shift of the stream in its window (tiled only).
+    Returns the decoded (L, R*B) int32 plane (natural flat layout).
+    Keeping the body free of refs lets _kernel run it both one-per-grid-
+    step and under a fori_loop over a multi-frame block."""
     B = spec.block
     P = spec.tree_rows
     cap = _round_up(row_capacity(spec.max_block_bits), 8)
     L = min(128, P)
     R = P // L
 
-    tiled = prev_ref is not None
-    if tiled:
-        f = pl.program_id(0)
-        t = pl.program_id(1)
-        block_offset = t * P
-        prev0 = prev_ref[f, t].astype(_I32)
-        width = widths_ref[0, 0].T                          # (R, L) int32
-    else:
-        block_offset = None
-        prev0 = _I32(0)
-        # widths arrive in NATURAL (L, R) layout (free host reshape);
-        # one tiny in-VMEM transpose instead of an XLA materialization
-        width = widths_ref[0].T                             # (R, L) int32
+    # one tiny in-VMEM transpose instead of an XLA materialization
+    width = width_nat.T                                     # (R, L) int32
     n_lim = spec.n if n_total is None else n_total
     nb_lim = -(-n_lim // B)
 
@@ -141,15 +139,6 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         lp = lp3[:, 0, :] + lp3[:, 1, :]
         Pn = M
 
-    def _emit_cut(chk):
-        # ablation early-exit (tools/tpu_ablate_decode.py): full-tensor
-        # checksum so nothing traced so far is dead-code-eliminated
-        z = jnp.broadcast_to(chk.astype(_I32), (L, R * B))
-        if tiled:
-            out_ref[0, 0] = z
-        else:
-            out_ref[0] = z
-
     def roll_up(x, step, axis):
         rolled = jnp.roll(x, step, axis=axis)
         idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
@@ -178,24 +167,20 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     # down-shift lifts with _roll3_down — sublane rolls + <128 lane rolls,
     # well-tiled even at M == 1 (the old (M, C) lane-axis rolls dominated
     # the round-1 decode profile like the encode's phase 2 did).
-    rows3 = (words_ref[0, 0] if tiled else words_ref[0]).reshape(
-        1, w_pad // 128, 128
-    )
-    if tiled:
-        # the tile's bit stream starts ``shift`` (in [0, 32)) bits into
+    rows3 = words_row.reshape(1, w_pad // 128, 128)
+    if s0 is not None:
+        # the tile's bit stream starts ``s0`` (in [0, 32)) bits into
         # the word-aligned window the host handed us: one funnel pass
-        s0 = shift_ref[f, t].astype(_U32)
         nxt0 = _roll3_down(rows3, 1)
         rows3 = (rows3 >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
     C = w_pad
     if cut is not None and cut == -2:  # input DMA only (tables DCE'd)
-        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32))
-                  + jnp.sum(width))
-        return
+        return _cut_block(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32))
+                          + jnp.sum(width), L, R * B)
     if cut is not None and cut < 0:  # lengths/plan only
-        _emit_cut(jnp.sum(block_bits) + jnp.sum(lp)
-                  + jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)))
-        return
+        return _cut_block(jnp.sum(block_bits) + jnp.sum(lp)
+                          + jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)),
+                          L, R * B)
     lev = 0
     Pn = 1
     for la_p in reversed(la_p2):
@@ -254,15 +239,16 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         C = Cc
         lev += 1
         if cut is not None and 0 <= cut < 90 and lev >= cut:
-            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)))
-            return
+            return _cut_block(
+                jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32)),
+                L, R * B)
 
     # rows3: (L, S, 128) — fold back to (L, C), then transpose into
     # lane-tree planes (C, L) -> (1, C, L)
     state = rows3.reshape(Pn, C).T[None]                    # (1, C, L)
     if cut == 90:  # after the fold + transpose
-        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
-        return
+        return _cut_block(
+            jnp.sum(jax.lax.bitcast_convert_type(state, _I32)), L, R * B)
 
     # ---- phase 1 inverse: top-down outer-axis splits --------------------
     Rn = 1
@@ -308,8 +294,9 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         C = Cc
         lev += 1
         if cut is not None and 0 <= cut < 90 and lev >= cut:
-            _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
-            return
+            return _cut_block(
+                jnp.sum(jax.lax.bitcast_convert_type(state, _I32)),
+                L, R * B)
 
     # pad rows to the staging capacity so extraction can't run off the end
     if C < cap + 2:
@@ -318,8 +305,8 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
         )
 
     if cut == 99:  # all splits done, no extraction
-        _emit_cut(jnp.sum(jax.lax.bitcast_convert_type(state, _I32)))
-        return
+        return _cut_block(
+            jnp.sum(jax.lax.bitcast_convert_type(state, _I32)), L, R * B)
 
     # ---- per-value extraction ------------------------------------------
     wmask = jnp.where(
@@ -403,16 +390,48 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     zero_p = jnp.zeros((R, L), _I32)
     x3 = jnp.stack([p if p is not None else zero_p for p in planes],
                    axis=1)                                  # (R, B, L)
-    out = x3.reshape(R * B, L).T                            # (L, R*B)
-    if out_ref.dtype == jnp.uint16:
-        # unsigned <=16-bit targets store native u16: halves the HBM
-        # write (the dominant decode output traffic) and the host skips
-        # the int32 narrowing pass
-        out = out.astype(jnp.uint16)
+    return x3.reshape(R * B, L).T                           # (L, R*B)
+
+
+def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
+            words_ref, widths_ref, out_ref, shift_ref=None,
+            prev_ref=None, n_total: int | None = None,
+            cut: int | None = None):
+    """One grid step: one frame — or one TILE of a big frame when
+    ``shift_ref``/``prev_ref``/``n_total`` are provided and the grid is
+    (F, T): the tile's word window starts ``shift`` bits before the tile
+    stream (host-aligned to the word), the repeat-coding chain enters
+    with the previous tile's last width, and block indices shift by t*P
+    into the global frame (mirrors pallas_pack's tiled encode).
+
+    (A multi-frame-per-step variant was measured round 3 at +-1% of
+    one-per-step on v5e under CSE-proof chained timing — per-grid-step
+    overhead is <0.3 us — so it was removed; see pallas_pack._kernel.)"""
+    tiled = prev_ref is not None
+
+    def narrow(out):
+        if out_ref.dtype == jnp.uint16:
+            # unsigned <=16-bit targets store native u16: halves the HBM
+            # write (the dominant decode output traffic) and the host
+            # skips the int32 narrowing pass
+            return out.astype(jnp.uint16)
+        return out
+
     if tiled:
-        out_ref[0, 0] = out
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        P = spec.tree_rows
+        out = _decode_body(
+            spec, w_pad, ratio, words_ref[0, 0], widths_ref[0, 0],
+            prev_ref[f, t].astype(_I32),
+            s0=shift_ref[f, t].astype(_U32), block_offset=t * P,
+            n_total=n_total, cut=cut)
+        out_ref[0, 0] = narrow(out)
     else:
-        out_ref[0] = out
+        # widths arrive in NATURAL (L, R) layout (free host reshape)
+        out = _decode_body(spec, w_pad, ratio, words_ref[0],
+                           widths_ref[0], _I32(0), cut=cut)
+        out_ref[0] = narrow(out)
 
 
 def block_bits_host(spec: FrameSpec, widths: np.ndarray) -> np.ndarray:
