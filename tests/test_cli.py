@@ -338,3 +338,31 @@ def test_jobs_stream_notice(tmp_path, capsys):
     rc = terse_main([str(src), "--stream", "--host", "--jobs", "4"])
     assert rc == 0
     assert "--jobs has no effect with --stream" in capsys.readouterr().err
+
+
+def test_trpx_concat(tmp_path, capsys):
+    """``trpx concat`` merges archives bit-identically to a whole-stack
+    encode (frame streams are independent and byte-aligned) and the
+    merged archive decodes every frame; geometry mismatches fail."""
+    rng = np.random.default_rng(9)
+    a = rng.poisson(3.0, (2, 32, 32)).astype(np.uint16)
+    b = rng.poisson(3.0, (3, 32, 32)).astype(np.uint16)
+    pa, pb, pc = (tmp_path / n for n in ("a.trpx", "b.trpx", "c.trpx"))
+    write_trpx(pycodec.encode(list(a.reshape(2, -1)), dimensions=(32, 32)), pa)
+    write_trpx(pycodec.encode(list(b.reshape(3, -1)), dimensions=(32, 32)), pb)
+    rc = main(["concat", str(pc), str(pa), str(pb), "--index", "-verbose"])
+    assert rc == 0 and "5 frames" in capsys.readouterr().out
+    whole = pycodec.encode(
+        list(np.concatenate([a, b]).reshape(5, -1)), dimensions=(32, 32))
+    assert pc.read_bytes() == whole.to_bytes()
+    assert (tmp_path / "c.trpx.idx").exists()
+    got = api.decompress(read_trpx(pc))
+    np.testing.assert_array_equal(
+        np.asarray(got).reshape(5, 32, 32), np.concatenate([a, b]))
+    # geometry mismatch -> error, no output clobber
+    bad = tmp_path / "bad.trpx"
+    write_trpx(pycodec.encode(np.arange(7, dtype=np.uint16)), bad)
+    rc = main(["concat", str(tmp_path / "d.trpx"), str(pa), str(bad)])
+    assert rc == 1
+    assert "values/frame differ" in capsys.readouterr().err
+    assert not (tmp_path / "d.trpx").exists()

@@ -55,3 +55,61 @@ def test_validation():
         Terse().prolix()
     with pytest.raises(TypeError):
         Terse(np.array(["x"]))
+
+
+def test_concat_archives_bit_identical():
+    """Byte-concatenating per-stack archives == one whole-stack encode:
+    frame streams are independent and byte-aligned (Terse.hpp:505,547)."""
+    rng = np.random.default_rng(5)
+    a = rng.poisson(3.0, (2, 300)).astype(np.uint16)
+    b = rng.poisson(3.0, (3, 300)).astype(np.uint16)
+    b[0, 7] = 60000  # prolix_bits must take the max over inputs
+    cat = pycodec.concat_archives(pycodec.encode(list(a)),
+                                  pycodec.encode(list(b)))
+    whole = pycodec.encode(list(a) + list(b))
+    assert cat.to_bytes() == whole.to_bytes()
+    assert cat.frame_index is not None  # offsets survive concatenation
+    assert list(cat.frame_index) == pycodec.frame_offsets(whole)
+
+
+def test_concat_archives_validation():
+    a = pycodec.encode(np.arange(24, dtype=np.uint16))
+    with pytest.raises(ValueError):
+        pycodec.concat_archives(a, pycodec.encode(np.arange(25, dtype=np.uint16)))
+    with pytest.raises(ValueError):
+        pycodec.concat_archives(a, pycodec.encode(np.arange(24, dtype=np.int16)))
+    with pytest.raises(ValueError):
+        pycodec.concat_archives(
+            a, pycodec.encode(np.arange(24, dtype=np.uint16), block=6))
+    with pytest.raises(ValueError):
+        pycodec.concat_archives()
+
+
+def test_push_back_after_from_stream():
+    """Appending to a loaded Terse: no re-encode, bit-identical to a
+    whole-stack encode; every frame (old and new) decodes correctly."""
+    rng = np.random.default_rng(6)
+    first = rng.poisson(3.0, (2, 24, 24)).astype(np.uint16)
+    more = rng.poisson(3.0, (2, 24, 24)).astype(np.uint16)
+    more[1, 3, 3] = 41000
+
+    t = Terse(first)
+    buf = io.BytesIO()
+    t.write(buf)
+
+    t2 = Terse.from_stream(buf.getvalue())
+    t2.push_back(more)
+    assert t2.number_of_frames == 4
+    out = io.BytesIO()
+    t2.write(out)
+    allf = np.concatenate([first, more])
+    ref = pycodec.encode(
+        list(allf.reshape(4, -1)), dimensions=(24, 24)).to_bytes()
+    assert out.getvalue() == ref
+    for i in range(4):
+        np.testing.assert_array_equal(t2.prolix(i), allf[i])
+    # validation still applies against the loaded archive's geometry
+    with pytest.raises(ValueError):
+        t2.push_back(np.arange(7, dtype=np.uint16))
+    with pytest.raises(ValueError):
+        t2.push_back(first[0].reshape(-1).astype(np.int16))

@@ -539,6 +539,34 @@ def prolix_main(argv=None) -> int:
     return _decode_files(p.parse_args(argv))
 
 
+
+def _concat_files(args) -> int:
+    """``trpx concat``: merge archives frame-wise into one, without
+    re-encoding — frame streams are independent and byte-aligned, so the
+    output is bit-identical to a whole-stack encode
+    (format/pycodec.concat_archives; Terse.hpp:505,547 semantics)."""
+    from ..format.pycodec import concat_archives
+
+    try:
+        parts = [read_trpx(Path(name)) for name in args.files]
+        merged = concat_archives(*parts)
+    except (ValueError, OSError) as e:
+        print(f"trpx concat: {e}", file=sys.stderr)
+        return 1
+    dst = Path(args.output)
+    _atomic_write(dst, lambda f: write_trpx(merged, f), durable=False)
+    if args.index:
+        from ..io.trpx import _compute_offsets, write_index
+
+        offs, wt = _compute_offsets(merged)  # one validating walk
+        write_index(dst, offs, merged.meta.memory_size, widths=wt)
+    if args.verbose:
+        print(f"Concatenated {len(parts)} archives -> {dst} "
+              f"({merged.meta.number_of_frames} frames, "
+              f"{merged.meta.memory_size} payload bytes)")
+    return 0
+
+
 def main(argv=None) -> int:
     """``trpx`` — umbrella command: encode / decode / info."""
     p = argparse.ArgumentParser(prog="trpx",
@@ -559,6 +587,15 @@ def main(argv=None) -> int:
     )
     ver.add_argument("files", nargs="+")
     ver.set_defaults(fn=_verify_files)
+    cat = sub.add_parser(
+        "concat", help="merge .trpx archives frame-wise (no re-encode)"
+    )
+    cat.add_argument("output", help="destination .trpx")
+    cat.add_argument("files", nargs="+", help="input .trpx archives, in order")
+    cat.add_argument("--index", action="store_true",
+                     help="also write the .trpx.idx sidecar")
+    cat.add_argument("-verbose", "--verbose", action="store_true")
+    cat.set_defaults(fn=_concat_files)
     bench = sub.add_parser(
         "bench", help="measure codec throughput on this machine's devices"
     )

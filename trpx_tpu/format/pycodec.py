@@ -177,6 +177,68 @@ def frame_offsets(archive: TrpxArchive) -> list[int]:
     return offs
 
 
+def concat_archives(*archives: TrpxArchive) -> TrpxArchive:
+    """Concatenate archives frame-wise — equivalent to having pushed all
+    their frames into one ``jpa::Terse`` (Terse.hpp:312), without
+    re-encoding anything.
+
+    Valid because frame streams are independent and byte-aligned: each
+    frame's repeat-width chain resets at its start (Terse.hpp:505) and
+    frame n+1 begins at the byte after frame n's terminal byte
+    (Terse.hpp:502-504,547), so byte-concatenating payloads yields
+    exactly the stream a single whole-stack encode would produce
+    (property-tested byte-identical in tests/test_terse_adapter.py).
+
+    Archives must agree on values/frame, block and signedness (the
+    checks ``push_back`` performs, Terse.hpp:314-319) and on dimensions
+    when both declare them; ``prolix_bits`` is the max over inputs
+    exactly as one encoder accumulating all frames would have kept it
+    (Terse.hpp:516).
+    """
+    if not archives:
+        raise ValueError("concat_archives needs at least one archive")
+    head = archives[0].meta
+    for a in archives[1:]:
+        m = a.meta
+        if m.number_of_values != head.number_of_values:
+            raise ValueError(
+                f"values/frame differ: {m.number_of_values} vs "
+                f"{head.number_of_values}")
+        if m.block != head.block:
+            raise ValueError(f"block differs: {m.block} vs {head.block}")
+        if m.signed != head.signed:
+            raise ValueError("signedness differs between archives")
+        if m.dimensions and head.dimensions and (
+                m.dimensions != head.dimensions):
+            raise ValueError(
+                f"dimensions differ: {m.dimensions} vs {head.dimensions}")
+    payload = b"".join(a.payload for a in archives)
+    dims = next((a.meta.dimensions for a in archives if a.meta.dimensions),
+                ())
+    meta = TrpxMeta(
+        prolix_bits=max(a.meta.prolix_bits for a in archives),
+        signed=head.signed,
+        block=head.block,
+        memory_size=len(payload),
+        number_of_values=head.number_of_values,
+        dimensions=dims,
+        number_of_frames=sum(a.meta.number_of_frames for a in archives),
+    )
+    # per-frame byte offsets stay valid under concatenation: shift each
+    # archive's index by its payload's start (recover missing indexes
+    # with the cheap host walk so one unindexed input doesn't discard
+    # the others' random access)
+    index: list[int] = []
+    base = 0
+    for a in archives:
+        offs = (a.frame_index if a.frame_index is not None
+                else frame_offsets(a))
+        index.extend(int(o) + base for o in offs)
+        base += len(a.payload)
+    return TrpxArchive(meta=meta, payload=payload,
+                       frame_index=np.asarray(index, dtype=np.int64))
+
+
 def _clamp_info(dtype: np.dtype) -> tuple[int, int, int]:
     info = np.iinfo(dtype)
     return int(info.min), int(info.max), info.bits

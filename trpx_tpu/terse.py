@@ -50,12 +50,11 @@ class Terse:
 
     def push_back(self, frames) -> None:
         """Append frame(s); dims must match previous pushes
-        (Terse.hpp:312-319)."""
-        if self._archive is not None:
-            raise ValueError(
-                "cannot push_back into a Terse read from a stream "
-                "(decode it and re-encode instead)"
-            )
+        (Terse.hpp:312-319). Appending to a ``Terse`` read from a stream
+        works too — the new frames encode on their own and byte-concat
+        onto the loaded payload (frame streams are independent and
+        byte-aligned, so the result is bit-identical to a whole-stack
+        encode; no reference-style O(N²) re-encode, bug P1)."""
         arr = np.asarray(frames)
         if arr.dtype.kind == "f":
             arr = arr.astype(np.int64)  # CLI float path (terse.cpp:120-123)
@@ -70,17 +69,18 @@ class Terse:
                           (arr.shape[2], arr.shape[1]))
         else:
             raise ValueError("frames must be 1-D, 2-D or 3-D")
-        if self._frames:
-            if stack.shape[1] != self._frames[0].shape[0]:
+        if self._frames or self._archive is not None:
+            if stack.shape[1] != self.size:
                 raise ValueError("frame size differs from the stack's")
-            if (stack.dtype.kind == "i") != (
-                    self._frames[0].dtype.kind == "i"):
+            if (stack.dtype.kind == "i") != self.is_signed:
                 raise ValueError("signedness differs from the stack's")
             if dim and self._dim and dim != self._dim:
                 # same flat size but different (w, h) would silently
                 # scramble prolix()'s reshape (Terse.hpp:314-319 errors)
                 raise ValueError(
                     f"dimensions {dim} differ from the stack's {self._dim}")
+            if not self._dim:
+                self._dim = dim
         else:
             self._dim = dim
         self._frames.extend(stack)
@@ -88,22 +88,30 @@ class Terse:
     # ----------------------------------------------------------- encode ---
 
     def _encoded(self) -> TrpxArchive:
-        if self._archive is None:
-            if not self._frames:
-                raise ValueError("empty Terse")
+        if self._frames:
             from . import api
 
             stack = np.stack(self._frames)  # (F, n) flat batch
             if stack.dtype in api._DEVICE_KINDS:
                 from . import ops
 
-                self._archive = ops.encode(
+                new = ops.encode(
                     stack, block=self._block, dimensions=self._dim
                 )
             else:  # 64-bit dtypes: host codec
-                self._archive = api._host_encode(
-                    stack, self._block, self._dim
-                )
+                new = api._host_encode(stack, self._block, self._dim)
+            if self._archive is None:
+                self._archive = new
+            else:
+                # appending to a loaded archive: frame streams are
+                # independent and byte-aligned, so byte-concatenation is
+                # bit-identical to a whole-stack encode (no P1 re-encode)
+                from .format.pycodec import concat_archives
+
+                self._archive = concat_archives(self._archive, new)
+            self._frames = []
+        if self._archive is None:
+            raise ValueError("empty Terse")
         return self._archive
 
     def write(self, f) -> None:
@@ -144,9 +152,10 @@ class Terse:
 
     @property
     def number_of_frames(self) -> int:
+        n = len(self._frames)  # pushed but not yet encoded
         if self._archive is not None:
-            return self._archive.meta.number_of_frames
-        return len(self._frames)
+            n += self._archive.meta.number_of_frames
+        return n
 
     def dim(self) -> tuple[int, ...]:
         return self._dim
