@@ -34,6 +34,7 @@ import numpy as np
 REFERENCE_FPS = 1712.0       # reference encoder, 1 CPU core (BASELINE.md)
 REFERENCE_DECODE_FPS = 2061.0
 REFERENCE_2K_FPS = 54.0      # 0.9 GB/s on 16.8 MB 2048² u32 frames
+REFERENCE_4K_FPS = 13.5      # 0.9 GB/s on 67 MB 4096² u32 frames
 
 # HBM speed-of-light per chip, GB/s (public figures)
 HBM_GBS = {
@@ -205,8 +206,10 @@ def bench_512(jax, jnp, F, reps):
     )
 
 
-def bench_2k(jax, jnp, reps):
-    """2048×2048 u32 overflow-heavy (BASELINE config 3): tiled kernels."""
+def bench_big(jax, jnp, reps, edge=2048, F=32):
+    """edge×edge u32 overflow-heavy (BASELINE config 3 covers 2K and 4K):
+    tiled kernels. F must keep >= 20 ms of device work behind the RTT
+    (see main)."""
     from trpx_tpu.ops.coding import FrameSpec, assemble_archive, walk_archive
     from trpx_tpu.ops.pallas_pack import encode_batch_pallas_tiled
     from trpx_tpu.ops.pallas_unpack import (
@@ -214,8 +217,7 @@ def bench_2k(jax, jnp, reps):
         tile_prepass,
     )
 
-    F = 32  # >= 20 ms of device work behind the RTT (see main)
-    n = 2048 * 2048
+    n = edge * edge
     spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=0.25)
     x = _synth(jax, jnp, spec, F, 2_000_000_000, seed=2)
     try:
@@ -239,7 +241,7 @@ def bench_2k(jax, jnp, reps):
     words, bits, maxw, over = jax.device_get(
         jax.jit(lambda fr: encode_batch_pallas_tiled(spec, fr))(x)
     )
-    assert not bool(np.any(over)), "2K soft capacity overflowed"
+    assert not bool(np.any(over)), f"{edge} soft capacity overflowed"
     int(enc_sum(x))
     rtt, measure = _rtt_timer(lambda: int(null(x)), reps)
     t_enc, ts_enc = measure(lambda: int(enc_sum(x)))
@@ -333,26 +335,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    try:
-        r2k = bench_2k(jax, jnp, max(3, min(reps, 5)))
-        print(
-            f"[tiled] encode 2048u32: {r2k['enc_fps']:,.1f} frames/s "
-            f"({r2k['enc_gbs']:.1f} GB/s); decode: {r2k['dec_fps']:,.1f} "
-            f"frames/s ({r2k['dec_gbs']:.1f} GB/s, bucket {r2k['dec_ratio']}); "
-            f"walk {r2k['walk_fps']:,.1f} frames/s; "
-            f"enc ms {[round(v*1e3) for v in r2k['ts_enc']]} "
-            f"dec ms {[round(v*1e3) for v in r2k['ts_dec']]}",
-            file=sys.stderr,
-        )
-        extra_2k = {
-            "encode_2048x2048_u32_frames_per_s": round(r2k["enc_fps"], 1),
-            "decode_2048x2048_u32_frames_per_s": round(r2k["dec_fps"], 1),
-            "encode_2048_vs_reference": round(r2k["enc_fps"] / REFERENCE_2K_FPS, 2),
-        }
-    except Exception as e:  # pragma: no cover - backend-dependent
-        print(f"2K bench unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        extra_2k = {}
+    extra_2k = {}
+    for edge, F_big, ref_fps in ((2048, 32, REFERENCE_2K_FPS),
+                                 (4096, 8, REFERENCE_4K_FPS)):
+        try:
+            rb = bench_big(jax, jnp, max(3, min(reps, 5)), edge, F_big)
+            print(
+                f"[tiled] encode {edge}u32: {rb['enc_fps']:,.1f} frames/s "
+                f"({rb['enc_gbs']:.1f} GB/s); decode: {rb['dec_fps']:,.1f} "
+                f"frames/s ({rb['dec_gbs']:.1f} GB/s, bucket {rb['dec_ratio']}); "
+                f"walk {rb['walk_fps']:,.1f} frames/s; "
+                f"enc ms {[round(v*1e3) for v in rb['ts_enc']]} "
+                f"dec ms {[round(v*1e3) for v in rb['ts_dec']]}",
+                file=sys.stderr,
+            )
+            extra_2k.update({
+                f"encode_{edge}x{edge}_u32_frames_per_s": round(rb["enc_fps"], 1),
+                f"decode_{edge}x{edge}_u32_frames_per_s": round(rb["dec_fps"], 1),
+                f"encode_{edge}_vs_reference": round(rb["enc_fps"] / ref_fps, 2),
+            })
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"{edge} bench unavailable: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "encode_512x512_u16_frames_per_s",

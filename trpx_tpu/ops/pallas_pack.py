@@ -243,7 +243,6 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         la_bound = min(max_bits, C * 32)
         C2 = 2 * C
         zpad = jnp.zeros((M, C, L), _U32)
-        A2 = jnp.concatenate([A, zpad], axis=1)
         B2 = jnp.concatenate([Bp, zpad], axis=1)
         k = (la >> 5).astype(_U32)
         step = 1
@@ -256,7 +255,11 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         s = (la & 31).astype(_U32)[:, None, :]
         prevw = roll_up_nz(B2, 1, 1)
         B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
-        state = A2 | B2                                     # (M, C2, L)
+        # A occupies only the first C words: OR it into the lifted B's
+        # low half instead of materializing a zero-padded A2 (one fewer
+        # full-state temporary per level; merges are VPU-memory-bound)
+        state = jnp.concatenate(
+            [A | B2[:, :C, :], B2[:, C:, :]], axis=1)       # (M, C2, L)
         lengths = la + lb
         Rn = M
         C = C2
@@ -302,8 +305,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         lb_p = lp3[:, 1, :]
         la = la_p[:, :1].astype(_I32)                       # (M, 1)
         zero = jnp.zeros((M, S, 128), _U32)
-        A2 = jnp.concatenate([A, zero], axis=1)             # (M, 2S, 128)
-        B2 = jnp.concatenate([Bp, zero], axis=1)
+        B2 = jnp.concatenate([Bp, zero], axis=1)            # (M, 2S, 128)
         k3 = _bcast3((la >> 5).astype(_U32), M, 2 * S)
         step = 1
         j = 0
@@ -315,7 +317,9 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         s = _bcast3((la & 31).astype(_U32), M, 2 * S)
         prevw = _roll3_up_nz(B2, 1)
         B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
-        state3 = A2 | B2                                    # (M, 2S, 128)
+        # as in phase 1: A lives in the first S sublanes only
+        state3 = jnp.concatenate(
+            [A | B2[:, :S, :], B2[:, S:, :]], axis=1)       # (M, 2S, 128)
         lp = la_p + lb_p
         Pn = M
         C = 2 * C
