@@ -1,14 +1,17 @@
 """Ablation of the Pallas split-tree decode kernel: where do the ms go?
 
-Cuts: -1 = length tables only; k = after k split levels (phase 2 then
-phase 1); 90 = after the fold+transpose transition; 99 = all splits, no
-extraction; FULL. RTT-corrected (CLAUDE.md measurement rules).
+Cuts: -2 = input DMA only; -1 = length tables; k = after k split levels
+(phase 2 then phase 1); 90 = after the fold+transpose transition; 99 =
+all splits, no extraction; FULL. Timed with the round-3 SLOPE
+methodology (see tools/tpu_ablate_pallas.py): chains of N kernel calls
+over N DISTINCT word/width batches inside one jit — distinct inputs
+defeat XLA CSE, and the chain-length slope cancels the tunnel's
+RTT/dispatch offsets exactly.
 
 Run: python tools/tpu_ablate_decode.py [F] [cap_ratio].
 """
 
 import os
-import statistics
 import sys
 import time
 
@@ -34,6 +37,8 @@ from trpx_tpu.ops.pallas_unpack import (  # noqa: E402
     decode_batch_pallas,
 )
 
+N1, N2 = 1, 9
+
 
 def main():
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 256
@@ -46,50 +51,70 @@ def main():
     p1 = (P // L - 1).bit_length()
     print(f"P={P} phase2={p2} phase1={p1}", file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
     n_full = P * spec.block
-    x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
-    lane = jnp.arange(n_full)[None, :]
-    x = jnp.where(lane < n, x, 0)
-    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n_full))
-           < 200.0 / n)
-    x = jnp.where(hot & (lane < n), jnp.uint16(60000), x)
-    w, b, m, _ = jax.device_get(encode_batch_pallas(spec, x))
-    arch = assemble_archive(spec, w, b, m)
-    widths, _p, wbuf = walk_archive(arch, spec)
-    ratio = choose_schedule(spec, widths)
-    print(f"ratio {ratio}", file=sys.stderr)
-    wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
 
-    @jax.jit
-    def null(wb):
-        return wb[0, 0]
+    def synth(seed):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
+        lane = jnp.arange(n_full)[None, :]
+        x = jnp.where(lane < n, x, 0)
+        hot = (jax.random.uniform(jax.random.fold_in(key, 1),
+                                  (F, n_full)) < 200.0 / n)
+        return jnp.where(hot & (lane < n), jnp.uint16(60000), x)
 
-    int(null(wb))
-    rtt = statistics.median(
-        (lambda t0: (int(null(wb)), time.perf_counter() - t0)[1])(
-            time.perf_counter())
-        for _ in range(7)
-    )
-    print(f"RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
+    wbs, wds = [], []
+    ratio = None
+    for s in range(N2):
+        w, b, m, _ = jax.device_get(encode_batch_pallas(spec, synth(s)))
+        arch = assemble_archive(spec, w, b, m)
+        widths, _p, wbuf = walk_archive(arch, spec)
+        if ratio is None:
+            ratio = choose_schedule(spec, widths)
+            print(f"ratio {ratio}", file=sys.stderr)
+        wbs.append(wbuf)
+        wds.append(jnp.asarray(widths))
+    # the walk buckets W per batch: pad to the common max so one compiled
+    # step serves every input
+    Wmax = max(w.shape[1] for w in wbs)
+    wbs = [
+        jax.block_until_ready(jnp.asarray(np.pad(
+            w, ((0, 0), (0, Wmax - w.shape[1])))))
+        for w in wbs
+    ]
+    args = []
+    for w, d in zip(wbs, wds):
+        args += [w, d]
+
+    def tmin(fn, a, reps=7):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     cuts = [-2, -1, 2, 4, p2, 90, p2 + 2, p2 + 4, p2 + p1, 99, None]
     rows = []
     prev = 0.0
     for cut in cuts:
 
-        @jax.jit
-        def step(wb, wd, cut=cut):
-            o = decode_batch_pallas(spec, wb, wd, False, ratio, cut)
-            return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
+        def mk(chain, cut=cut):
+            @jax.jit
+            def step(*a):
+                chk = jnp.uint32(0)
+                for i in range(chain):
+                    o = decode_batch_pallas(spec, a[2 * i], a[2 * i + 1],
+                                            False, ratio, cut)
+                    chk = (chk + jnp.uint32(jnp.sum(o[:, :: 4096]))
+                           + jnp.uint32(o[-1, -1]))
+                return chk
+            return step
 
-        int(step(wb, wd))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            int(step(wb, wd))
-            ts.append(time.perf_counter() - t0)
-        t = max(statistics.median(ts) - rtt, 1e-9)
+        f1, f2 = mk(N1), mk(N2)
+        int(f1(*args[: 2 * N1]))
+        int(f2(*args[: 2 * N2]))
+        t = max((tmin(f2, args[: 2 * N2]) - tmin(f1, args[: 2 * N1]))
+                / (N2 - N1), 1e-9)
         ms = t * 1e3
         label = ("input-only" if cut == -2 else
                  "lengths" if cut == -1 else
@@ -99,7 +124,7 @@ def main():
         rows.append((label, ms, ms - prev, F / t))
         prev = ms
         print(f"{label:14s} {ms:8.2f} ms  (+{rows[-1][2]:.2f})  "
-              f"{F / t:10,.0f} fps", file=sys.stderr)
+              f"{F / t:10,.0f} fps", file=sys.stderr, flush=True)
 
     print("| cut | cumulative ms | delta ms | fps |")
     print("|---|---|---|---|")

@@ -109,9 +109,11 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
 
 
 def _cut_row(chk, ow: int):
-    """Ablation early-exit row: a full-tensor checksum (so nothing traced
-    so far is dead-code-eliminated) splattered over the output row."""
-    return jnp.broadcast_to(chk.astype(_U32)[None, None], (1, ow))
+    """Ablation early-exit grid: a full-tensor checksum (so nothing
+    traced so far is dead-code-eliminated) splattered over the output
+    word grid."""
+    return jnp.broadcast_to(chk.astype(_U32)[None, None],
+                            (ow // 128, 128))
 
 
 def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
@@ -119,8 +121,9 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                  block_offset=None, prev0=None, want_carry: bool = False):
     """Encode ONE frame (or tile) given its (R, L) value planes.
 
-    Pure arrays -> arrays: returns (row — (1, ow_pad) uint32 packed words
-    with the three scalar tail lanes — and the frame's LAST block width,
+    Pure arrays -> arrays: returns (grid — (ow_pad/128, 128) uint32
+    packed words, word w at [w >> 7, w & 127], with the three scalar
+    slots in the last three positions — and the frame's LAST block width,
     for the tiled carry chain; 0 unless ``want_carry``). Keeping the body
     free of refs lets _kernel run it both one-per-grid-step and under a
     fori_loop over a multi-frame block (grid-step amortization).
@@ -343,25 +346,30 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                 jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
                 + jnp.sum(lp), ow_pad), lastw
 
-    words2 = state3.reshape(1, C)                           # (1, C_final)
-    if ow_pad <= words2.shape[1]:
-        words2 = words2[:, :ow_pad]
+    # keep the (S, 128) word-grid layout all the way to the output
+    # boundary: the old reshape to a (1, C) lane row was a full
+    # cross-tile relayout into a 1/8-dense VMEM buffer (the decode-side
+    # twin of this measured 3.9 ms of 6.8 per 256 frames, round 3); the
+    # host's view back to a flat (F, ow_pad) row is free on HBM
+    g = state3[0]                                       # (C//128, 128)
+    So = ow_pad // 128
+    if So <= g.shape[0]:
+        g = g[:So]
     else:
-        words2 = jnp.concatenate(
-            [words2, jnp.zeros((1, ow_pad - words2.shape[1]), _U32)],
-            axis=1,
-        )
-    # the per-frame scalars ride the last three lanes of the words row
-    # (SMEM scalar outputs need (F,1) constant-index blocks, which get
-    # written back EVERY grid step — O(F^2) traffic; the host never reads
-    # words beyond out_words <= ow_pad-3, so the lanes are free)
-    lane_i = jax.lax.broadcasted_iota(_I32, (1, ow_pad), 1)
-    wi = jax.lax.bitcast_convert_type(words2, _I32)
-    wi = jnp.where(lane_i == ow_pad - 3, lp[0, 0], wi)
-    wi = jnp.where(lane_i == ow_pad - 2, jnp.max(width), wi)
-    wi = jnp.where(lane_i == ow_pad - 1, overflow.astype(_I32), wi)
-    words2 = jax.lax.bitcast_convert_type(wi, _U32)
-    return words2, lastw
+        g = jnp.concatenate(
+            [g, jnp.zeros((So - g.shape[0], 128), _U32)], axis=0)
+    # the per-frame scalars ride the last three word slots (the host
+    # never reads words beyond out_words <= ow_pad-3, so they're free;
+    # SMEM scalar outputs would write back (F,1) constant-index blocks
+    # every grid step — O(F^2) traffic)
+    sub_i = jax.lax.broadcasted_iota(_I32, (So, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(_I32, (So, 128), 1)
+    wi = jax.lax.bitcast_convert_type(g, _I32)
+    tail = sub_i == So - 1
+    wi = jnp.where(tail & (lane_i == 125), lp[0, 0], wi)
+    wi = jnp.where(tail & (lane_i == 126), jnp.max(width), wi)
+    wi = jnp.where(tail & (lane_i == 127), overflow.astype(_I32), wi)
+    return jax.lax.bitcast_convert_type(wi, _U32), lastw
 
 
 def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
@@ -384,7 +392,7 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
-    ow_pad = words_ref.shape[-1]
+    ow_pad = words_ref.shape[-2] * words_ref.shape[-1]  # (S, 128) grid
     tiled = carry_ref is not None
 
     def natural_planes(xi):
@@ -409,12 +417,12 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
         # hand this tile's last-block width to the next grid step (the
         # final tile's store is never consumed)
         carry_ref[0] = lastw
-        words_ref[0, 0, :, :] = row
+        words_ref[0, 0] = row
     else:
         vplanes = (natural_planes(frame_ref[0]) if natural
                    else [frame_ref[0, j].astype(_I32) for j in range(B)])
         row, _ = _encode_body(spec, vplanes, ow_pad, cut=cut)
-        words_ref[0, :, :] = row
+        words_ref[0] = row
 
 
 def _round_up(x: int, m: int) -> int:
@@ -543,16 +551,20 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
                                memory_space=pltpu.VMEM)
         natural = True
     out_words = spec.out_words
-    ow_pad = _round_up(out_words + 3, 128)  # +3 scalar tail lanes
+    # +3 scalar tail slots; 1024-aligned so the (S, 128) output grid
+    # stays on whole (8, 128) tiles
+    ow_pad = _round_up(out_words + 3, 1024)
 
     kernel = functools.partial(_kernel, spec, cut=cut, natural=natural)
     words = pl.pallas_call(
         kernel,
         grid=(F,),
         in_specs=[in_spec],
-        out_specs=pl.BlockSpec((1, 1, ow_pad), lambda f: (f, 0, 0),
+        out_specs=pl.BlockSpec((1, ow_pad // 128, 128),
+                               lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, 1, ow_pad), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((F, ow_pad // 128, 128),
+                                       jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # default 16M caps ~700k
             #                                      values/frame (u32)
@@ -643,7 +655,8 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     R = Tb // L
     x = frames.reshape(F, T, L, R * B)  # natural layout (free reshape)
 
-    ow = _round_up(tspec.out_words + 3, 128)  # +3 scalar tail lanes
+    # +3 scalar tail slots; 1024-aligned for whole-tile output grids
+    ow = _round_up(tspec.out_words + 3, 1024)
     kernel = functools.partial(_kernel, tspec, n_total=spec.n,
                                natural=True)
     words = pl.pallas_call(
@@ -653,9 +666,11 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
             pl.BlockSpec((1, 1, L, R * B), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, ow), lambda f, t: (f, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, ow // 128, 128),
+                               lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, T, 1, ow), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((F, T, ow // 128, 128),
+                                       jnp.uint32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

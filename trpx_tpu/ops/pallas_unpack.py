@@ -71,15 +71,19 @@ def _cut_block(chk, L: int, RB: int):
 
 
 def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
-                 words_row, width_nat, prev0, s0=None,
+                 words3, width_nat, prev0, s0=None,
                  block_offset=None, n_total: int | None = None,
                  cut: int | None = None):
     """Decode ONE frame (or tile) given its word window and widths.
 
-    Pure arrays -> arrays: ``words_row`` is the (1, w_pad) uint32 word
-    window, ``width_nat`` the (L, R) NATURAL-layout width plane (the body
-    transposes in VMEM), ``prev0`` the repeat-chain entry width, ``s0``
-    the sub-word bit shift of the stream in its window (tiled only).
+    Pure arrays -> arrays: ``words3`` is the (w_pad/128, 128) uint32
+    word grid (word w at [w >> 7, w & 127] — the host reshapes the flat
+    stream for free on HBM; handing the kernel a (1, w_pad) lane row
+    instead costs a full cross-tile relayout in VMEM, measured 3.9 ms of
+    the 6.8 ms round-3 decode), ``width_nat`` the (L, R) NATURAL-layout
+    width plane (the body transposes in VMEM), ``prev0`` the
+    repeat-chain entry width, ``s0`` the sub-word bit shift of the
+    stream in its window (tiled only).
     Returns the decoded (L, R*B) int32 plane (natural flat layout).
     Keeping the body free of refs lets _kernel run it both one-per-grid-
     step and under a fori_loop over a multi-frame block."""
@@ -167,7 +171,7 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     # down-shift lifts with _roll3_down — sublane rolls + <128 lane rolls,
     # well-tiled even at M == 1 (the old (M, C) lane-axis rolls dominated
     # the round-1 decode profile like the encode's phase 2 did).
-    rows3 = words_row.reshape(1, w_pad // 128, 128)
+    rows3 = words3[None]                    # (1, w_pad/128, 128)
     if s0 is not None:
         # the tile's bit stream starts ``s0`` (in [0, 32)) bits into
         # the word-aligned window the host handed us: one funnel pass
@@ -521,11 +525,14 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     wplanes = widths_p.reshape(F, L, R)
 
     kernel = functools.partial(_kernel, spec, w_pad, ratio, cut=cut)
+    # hand the kernel a dense (w_pad/128, 128) word grid: the reshape is
+    # free on the HBM buffer, while reshaping a (1, w_pad) lane row
+    # inside the kernel was a full cross-tile relayout (3.9 ms/256fr)
     out = pl.pallas_call(
         kernel,
         grid=(F,),
         in_specs=[
-            pl.BlockSpec((1, 1, w_pad), lambda f: (f, 0, 0),
+            pl.BlockSpec((1, w_pad // 128, 128), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, R), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -545,7 +552,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(words[:, None, :], wplanes)
+    )(words.reshape(F, w_pad // 128, 128), wplanes)
     # the kernel emits the natural layout: reshape is free
     return out.reshape(F, P * B)[:, : spec.n_padded]
 
@@ -657,7 +664,8 @@ def decode_batch_pallas_tiled(
                                         prev_ref=pv),
         grid=(F, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, w_pad), lambda f, t: (f, t, 0, 0),
+            pl.BlockSpec((1, 1, w_pad // 128, 128),
+                         lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L, R), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -678,7 +686,7 @@ def decode_batch_pallas_tiled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(words_t[:, :, None, :], wplanes, shift, prev0)
+    )(words_t.reshape(F, T, w_pad // 128, 128), wplanes, shift, prev0)
     # the kernel emits the natural layout: reshape is free
     return out.reshape(F, T * Tb * B)[:, : spec.n_padded]
 
