@@ -72,3 +72,28 @@ def test_auto_routes_host_on_cpu_backend():
     np.testing.assert_array_equal(np.asarray(out).reshape(frames.shape),
                                   frames)
     assert api_mod._ACCEL_BACKEND is False
+
+
+def test_big_device_decode_streams_in_chunks(monkeypatch):
+    """decompress(device=True) on a >_DEVICE_CHUNK_FRAMES archive routes
+    through the chunked walk||unpack pipeline (O(chunk) host buffers)
+    and stays pixel-exact across the chunk boundaries."""
+    import trpx_tpu.runtime.stream as stream_mod
+
+    rng = np.random.default_rng(1)
+    F, h, w = 2 * api_mod._DEVICE_CHUNK_FRAMES + 37, 64, 64
+    frames = rng.poisson(3.0, (F, h, w)).astype(np.uint16)
+    frames[rng.random((F, h, w)) < 0.01] = 60000
+    arch = api.compress(frames, device=False)
+
+    calls = []
+    real = stream_mod.iter_decode
+
+    def spy(archive, dtype, chunk_frames=256, device=None):
+        calls.append((chunk_frames, device))
+        return real(archive, dtype, chunk_frames, device)
+
+    monkeypatch.setattr(stream_mod, "iter_decode", spy)
+    out = api.decompress(arch, device=True)
+    np.testing.assert_array_equal(np.asarray(out), frames)
+    assert calls == [(api_mod._DEVICE_CHUNK_FRAMES, True)]

@@ -35,6 +35,11 @@ _DEVICE_KINDS = {
 
 #: auto mode (device=None) keeps workloads below this on the host codec
 _DEVICE_MIN_BYTES = 4 << 20
+#: device decodes beyond this many frames stream through the chunked
+#: walk||unpack pipeline (runtime/stream.iter_decode) instead of one
+#: whole-archive call: bounds host buffers at O(chunk) and overlaps the
+#: serial header walk with device work
+_DEVICE_CHUNK_FRAMES = 256
 
 _ACCEL_BACKEND: bool | None = None
 #: a --jobs pool hits the undecided probe from N threads at once; without
@@ -257,9 +262,22 @@ def decompress(
             f"prolix_bits={meta.prolix_bits}"
         )
     if use_device:
-        from . import ops
+        if meta.number_of_frames > _DEVICE_CHUNK_FRAMES:
+            # big archives stream through the chunked walk||unpack
+            # pipeline: O(chunk) host buffers (whole-archive decode
+            # pow2-buckets the width tables — 1.4 GB at 10k frames) and
+            # the serial header walk of chunk k+1 overlaps the device
+            # unpack of chunk k (runtime/stream.iter_decode)
+            from .runtime.stream import iter_decode
 
-        out = ops.decode(archive, dtype)
+            out = np.concatenate(
+                list(iter_decode(archive, dtype,
+                                 _DEVICE_CHUNK_FRAMES, device=True))
+            )
+        else:
+            from . import ops
+
+            out = ops.decode(archive, dtype)
     else:
         from . import native
 

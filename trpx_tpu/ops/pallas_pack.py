@@ -19,6 +19,14 @@ what Mosaic lowers well — no strided slices, no gathers:
   * phase 2 (log2 L levels): the 128 surviving lane-trees transpose once
     to rows ``(128, C)`` and merge with the (supported) middle-axis
     deinterleave ``reshape(Pn//2, 2, C)[:, k, :]``.
+  * PHASE-ALIGNED merges (round 3): a plan-time prefix-sum gives every
+    block its absolute bit offset; one funnel pass at level 0 moves each
+    staged row to its final sub-word phase (pfx & 31), after which every
+    merge level lifts B by (phase_a + la) >> 5 WHOLE WORDS — the
+    per-level variable bit-funnel (~4 full-state VPU passes x 15 levels)
+    is gone. Valid because every capacity schedule carries a +31-bit
+    margin (pack.measured_schedule / row_capacity), which is exactly
+    phase + length <= cap*32.
 
 Soft capacities + overflow detection work exactly as in ops/pack.py.
 """
@@ -155,8 +163,35 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     else:
         lastw = _I32(0)
 
+    # exclusive prefix of block bit-lengths over the natural block order
+    # b = r + R*l (r fastest, Hillis-Steele log-shift scans): every
+    # block's absolute bit offset in the frame. phase = pfx & 31 is the
+    # block's FINAL sub-word phase — staging rows at that phase up front
+    # turns every merge level's variable bit-funnel (~4 full-state VPU
+    # passes x 15 levels) into a pure word-granularity roll (the
+    # phase-aligned merges below). Capacities stay valid: every schedule
+    # carries a +31-bit margin (pack.measured_schedule / row_capacity),
+    # which is exactly phase + length <= cap*32.
+    lengths = (hb + width * counts).astype(_I32)            # (R, L)
+    inc = lengths
+    step = 1
+    while step < R:
+        sh = jnp.roll(inc, step, axis=0)
+        ridx = jax.lax.broadcasted_iota(_I32, (R, L), 0)
+        inc = inc + jnp.where(ridx >= step, sh, _I32(0))
+        step *= 2
+    lane_tot = inc[R - 1 : R, :]                            # (1, L)
+    lt = lane_tot
+    step = 1
+    while step < L:
+        sh = jnp.roll(lt, step, axis=1)
+        lidx = jax.lax.broadcasted_iota(_I32, (1, L), 1)
+        lt = lt + jnp.where(lidx >= step, sh, _I32(0))
+        step *= 2
+    phase = ((inc - lengths) + (lt - lane_tot)) & 31        # (R, L)
+
     if cut is not None and cut < 0:  # plan only
-        return _cut_row(jnp.sum(width + hb + counts)
+        return _cut_row(jnp.sum(width + hb + counts + phase)
                         + jnp.sum(hv.astype(_I32)), ow_pad), lastw
 
     wmask = jnp.where(
@@ -166,8 +201,14 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     )
 
     # ---- stage: (R, cap, L) — one fixed-capacity row per block ----------
+    # placements land PHASE-SHIFTED (off += phase): each block's bits sit
+    # at their final sub-word phase straight out of staging (~5x cheaper
+    # than a separate full-state alignment funnel — contributions are
+    # sparse, the funnel touches every word)
+    ph = phase.astype(_U32)                                 # (R, L)
     cols = [jnp.zeros((R, L), _U32) for _ in range(cap)]
-    cols[0] = hv
+    cols[0] = hv << ph
+    cols[1] = (hv >> (_U32(31) - ph)) >> _U32(1)
     # bound the reachable word span by the dtype's REAL max field width
     # (the capacity-derived bound over-estimates, e.g. 20 vs 16 for u16)
     max_w = min((cap * 32 - 12) // B, spec.max_width)
@@ -179,7 +220,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         2 if spec.max_width <= 16 else 1)
     wu = jnp.clip(width, 0, 31).astype(_U32)
     for j in range(0, B, stride):
-        off = hb + j * width                                # (R, L)
+        off = phase + hb + j * width                        # (R, L)
         valid = (j < counts) & (width > 0)
         vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
         vj = jnp.where(valid, vu, _U32(0))
@@ -203,7 +244,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
             hi = hi | (vhj << bit_idx)
             hi2 = (vhj >> (_U32(31) - bit_idx)) >> _U32(1)
         i_lo = (1 + j) >> 5
-        i_hi = min(cap - 1, ((12 + (j + stride) * max_w) >> 5) + 2)
+        i_hi = min(cap - 1, ((31 + 12 + (j + stride) * max_w) >> 5) + 2)
         for i in range(i_lo, i_hi + 1):
             contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
                 word_idx == i - 1, hi, _U32(0)
@@ -213,8 +254,9 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                                               _U32(0))
             cols[i] = cols[i] | contrib
     state = jnp.stack(cols, axis=1)                         # (R, cap, L)
-    lengths = (hb + width * counts).astype(_I32)            # (R, L)
-    if cut == 0:  # stage only
+    # (rows leave staging already at their final sub-word phase;
+    # row_capacity's +31-bit margin guarantees phase + length fits cap)
+    if cut == 0:  # stage only (incl. the phase shift)
         return _cut_row(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
                         + jnp.sum(lengths), ow_pad), lastw
 
@@ -225,15 +267,18 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
 
     def roll_up_nz(x, step, axis):
         """roll toward higher indices WITHOUT the wrap mask: B2 is
-        zero-padded to 2C and, per lane, the prefix-of-la_w shifted so
-        far plus the current (set-bit) step never exceeds la_w <= C, so
-        every wrapped-in element is provably zero; the funnel's +1 roll
-        can wrap one data word only when la_w == C, where s == 0 makes
-        its carry term (x >> 31) >> 1 vanish elementwise."""
+        zero-padded to 2C and, per lane, the prefix-of-k shifted so far
+        plus the current (set-bit) step never exceeds k <= C (the child's
+        occupancy phase+length <= C*32 words), so every wrapped-in
+        element is provably zero."""
         return jnp.roll(x, step, axis=axis)
 
     # ---- phase 1: merge along the outer node axis -----------------------
     # C stays 8-aligned so sublane-axis concats sit on tile boundaries.
+    # Rows are PHASE-ALIGNED: block bits already sit at their final
+    # sub-word phase, so B lifts by (phase_a + la) >> 5 WHOLE WORDS — no
+    # per-level bit funnel (removed round 3: ~4 full-state passes/level).
+    pa = phase                                              # (R, L)
     Rn = R
     while Rn > 1:
         M = Rn // 2
@@ -243,11 +288,12 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         l3 = lengths.reshape(M, 2, L)
         la = l3[:, 0, :]                                    # (M, L)
         lb = l3[:, 1, :]
+        pa = pa.reshape(M, 2, L)[:, 0, :]                   # (M, L)
         la_bound = min(max_bits, C * 32)
         C2 = 2 * C
         zpad = jnp.zeros((M, C, L), _U32)
         B2 = jnp.concatenate([Bp, zpad], axis=1)
-        k = (la >> 5).astype(_U32)
+        k = ((pa + la) >> 5).astype(_U32)
         step = 1
         j = 0
         while step <= la_bound // 32 + 1 and step < C2:
@@ -255,9 +301,6 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
             B2 = jnp.where(bit, roll_up_nz(B2, step, 1), B2)
             step *= 2
             j += 1
-        s = (la & 31).astype(_U32)[:, None, :]
-        prevw = roll_up_nz(B2, 1, 1)
-        B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
         # A occupies only the first C words: OR it into the lifted B's
         # low half instead of materializing a zero-padded A2 (one fewer
         # full-state temporary per level; merges are VPU-memory-bound)
@@ -290,12 +333,14 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     C = C128
     state3 = rows.reshape(L, C // 128, 128)
     lp = jnp.broadcast_to(lengths.reshape(L, 1), (L, L))    # lengths plane
+    pp = jnp.broadcast_to(pa.reshape(L, 1), (L, L))         # phase plane
 
     # ---- phase 2: merge along the outer node axis of (M, S, 128) grids --
     # Word w of node m lives at [m, w >> 7, w & 127]: pairs split by an
-    # outer reshape, B lifts UP by la bits via _roll3_up (sublane rolls +
-    # <128 lane rolls — every step well-tiled even at M == 1, unlike the
-    # old (M, C) lane-axis rolls that dominated the round-1 ablation).
+    # outer reshape, B lifts UP by (phase_a + la) >> 5 whole words via
+    # _roll3_up_nz (sublane rolls + <128 lane rolls — every step
+    # well-tiled even at M == 1, unlike the old (M, C) lane-axis rolls
+    # that dominated the round-1 ablation).
     Pn = L
     while Pn > 1:
         M = Pn // 2
@@ -306,10 +351,13 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         lp3 = lp.reshape(M, 2, L)
         la_p = lp3[:, 0, :]                                 # (M, L)
         lb_p = lp3[:, 1, :]
+        pa_p = pp.reshape(M, 2, L)[:, 0, :]                 # (M, L)
         la = la_p[:, :1].astype(_I32)                       # (M, 1)
+        pa2 = pa_p[:, :1].astype(_I32)                      # (M, 1)
         zero = jnp.zeros((M, S, 128), _U32)
         B2 = jnp.concatenate([Bp, zero], axis=1)            # (M, 2S, 128)
-        k3 = _bcast3((la >> 5).astype(_U32), M, 2 * S)
+        # phase-aligned: word-granularity lift only (no bit funnel)
+        k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, 2 * S)
         step = 1
         j = 0
         while step <= C and step < 2 * C:
@@ -317,13 +365,11 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
             B2 = jnp.where(bit, _roll3_up_nz(B2, step), B2)
             step *= 2
             j += 1
-        s = _bcast3((la & 31).astype(_U32), M, 2 * S)
-        prevw = _roll3_up_nz(B2, 1)
-        B2 = (B2 << s) | ((prevw >> (_U32(31) - s)) >> _U32(1))
         # as in phase 1: A lives in the first S sublanes only
         state3 = jnp.concatenate(
             [A | B2[:, :S, :], B2[:, S:, :]], axis=1)       # (M, 2S, 128)
         lp = la_p + lb_p
+        pp = pa_p
         Pn = M
         C = 2 * C
         max_bits *= 2

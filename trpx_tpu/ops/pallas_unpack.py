@@ -5,11 +5,14 @@ Inverse of ops/pallas_pack.py with the same Mosaic-proven layout:
   * inputs: the frame's word stream plus the per-block width table from
     the (native C++) header walk, host-arranged as (R, L) planes over
     128 lane-local trees (block b = r + R*l);
-  * node bit-lengths for every level are computed bottom-up from the
-    per-block lengths (pure pairwise-sum reshapes), then the stream is
-    split top-down: phase 2 splits row pairs via the reshape-pair trick
-    (B shifts UP from bit ``la`` to the C-word boundary, roll + mask);
-    phase 1 splits along the outer node axis;
+  * node bit-lengths AND first-block phases for every level are computed
+    bottom-up from the per-block lengths (pure pairwise-sum reshapes +
+    a plan-time prefix-sum), then the stream is split top-down
+    PHASE-ALIGNED (round 3): B shifts down by (phase_a + la) >> 5 WHOLE
+    WORDS and every block stays at its final sub-word phase — no
+    per-level bit funnel; extraction funnels phase + header out in one
+    pass. phase 2 splits row pairs via the reshape-pair trick, phase 1
+    splits along the outer node axis;
   * per-value extraction is a static masked-select loop over the row's
     words; sign extension matches Bit_pointer.hpp:597-617.
 
@@ -94,6 +97,10 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     R = P // L
 
     # one tiny in-VMEM transpose instead of an XLA materialization
+    # (width tables may arrive uint8 — 1/4 the HBM->VMEM DMA; widen
+    # before transposing, 8-bit relayouts are weaker in Mosaic)
+    if width_nat.dtype != jnp.int32:
+        width_nat = width_nat.astype(_I32)
     width = width_nat.T                                     # (R, L) int32
     n_lim = spec.n if n_total is None else n_total
     nb_lim = -(-n_lim // B)
@@ -120,10 +127,37 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     hb = jnp.where(real, hb, _I32(0))
     block_bits = (hb + width * counts).astype(_I32)         # (R, L)
 
-    # ---- bottom-up: left-child lengths for every level ------------------
+    # exclusive prefix of block bit-lengths over the natural block order
+    # b = r + R*l (r fastest): every block's absolute bit offset in the
+    # stream (+ s0 for tiled windows). phase = pfx & 31 is the block's
+    # sub-word phase — splits below move WHOLE words only and leave each
+    # block at its phase (the encode kernel's phase-aligned merge,
+    # mirrored; extraction funnels phase + hb out in one pass).
+    inc = block_bits
+    pstep = 1
+    while pstep < R:
+        sh = jnp.roll(inc, pstep, axis=0)
+        ridx = jax.lax.broadcasted_iota(_I32, (R, L), 0)
+        inc = inc + jnp.where(ridx >= pstep, sh, _I32(0))
+        pstep *= 2
+    lane_tot = inc[R - 1 : R, :]                            # (1, L)
+    lt = lane_tot
+    pstep = 1
+    while pstep < L:
+        sh = jnp.roll(lt, pstep, axis=1)
+        lidx = jax.lax.broadcasted_iota(_I32, (1, L), 1)
+        lt = lt + jnp.where(lidx >= pstep, sh, _I32(0))
+        pstep *= 2
+    pfx = (inc - block_bits) + (lt - lane_tot)              # (R, L)
+    if s0 is not None:
+        pfx = pfx + s0.astype(_I32)
+    phase = pfx & 31                                        # (R, L)
+
+    # ---- bottom-up: left-child lengths + phases for every level ---------
     # phase-1 levels (outer axis), then phase-2 levels (lane-tree axis)
-    la_p1 = []
+    la_p1, pa_p1 = [], []
     lengths = block_bits
+    pa = phase
     Rn = R
     while Rn > 1:
         M = Rn // 2
@@ -131,22 +165,24 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         la = l3[:, 0, :]
         lb = l3[:, 1, :]
         la_p1.append(la)
+        pa3 = pa.reshape(M, 2, L)
+        pa_p1.append(pa3[:, 0, :])
+        pa = pa3[:, 0, :]
         lengths = la + lb
         Rn = M
-    la_p2 = []
+    la_p2, pa_p2 = [], []
     lp = jnp.broadcast_to(lengths.reshape(L, 1), (L, L))
+    pp = jnp.broadcast_to(pa.reshape(L, 1), (L, L))
     Pn = L
     while Pn > 1:
         M = Pn // 2
         lp3 = lp.reshape(M, 2, L)
         la_p2.append(lp3[:, 0, :])
+        pp3 = pp.reshape(M, 2, L)
+        pa_p2.append(pp3[:, 0, :])
+        pp = pp3[:, 0, :]
         lp = lp3[:, 0, :] + lp3[:, 1, :]
         Pn = M
-
-    def roll_up(x, step, axis):
-        rolled = jnp.roll(x, step, axis=axis)
-        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
-        return jnp.where(idx >= step, rolled, _U32(0))
 
     def roll_down(x, step, axis):
         if step >= x.shape[axis]:  # full shift-out: everything is zero
@@ -172,11 +208,8 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     # well-tiled even at M == 1 (the old (M, C) lane-axis rolls dominated
     # the round-1 decode profile like the encode's phase 2 did).
     rows3 = words3[None]                    # (1, w_pad/128, 128)
-    if s0 is not None:
-        # the tile's bit stream starts ``s0`` (in [0, 32)) bits into
-        # the word-aligned window the host handed us: one funnel pass
-        nxt0 = _roll3_down(rows3, 1)
-        rows3 = (rows3 >> s0) | ((nxt0 << (_U32(31) - s0)) << _U32(1))
+    # (phase-aligned splits: a tiled window's s0 bit offset folds into
+    # the block phases above — no input funnel pass)
     C = w_pad
     if cut is not None and cut == -2:  # input DMA only (tables DCE'd)
         return _cut_block(jnp.sum(jax.lax.bitcast_convert_type(rows3, _I32))
@@ -187,7 +220,7 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
                           L, R * B)
     lev = 0
     Pn = 1
-    for la_p in reversed(la_p2):
+    for la_p, pa_p in zip(reversed(la_p2), reversed(pa_p2)):
         M = Pn
         S = C // 128
         child_blocks = P // (2 * M)
@@ -196,28 +229,22 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
             C,
         )
         la = la_p[:M, :1].astype(_I32)                      # (M, 1)
-        la3 = _bcast3(la, M, S)
-        sub = jax.lax.broadcasted_iota(_I32, (M, S, 128), 1)
-        lane = jax.lax.broadcasted_iota(_I32, (M, S, 128), 2)
-        widx = sub * 128 + lane
-        la_w = la3 >> 5
-        amask = jnp.where(
-            widx < la_w,
-            jnp.uint32(0xFFFFFFFF),
-            jnp.where(
-                widx == la_w,
-                (_U32(1) << (la3 & 31).astype(_U32)) - _U32(1),
-                _U32(0),
-            ),
-        )
+        pa2 = pa_p[:M, :1].astype(_I32)                     # (M, 1)
+        cutb = pa2 + la              # B's start bit in the node buffer
+        cut3 = _bcast3(cutb, M, S)
         Sc = Cc // 128
-        A = (rows3 & amask)[:, :Sc, :]
-        # B: shift down by la to bit 0, keep the first Cc words.
-        # la is bounded by BOTH the child's proven capacity (la <=
-        # Cc*32-31, measured_schedule's +31 margin) and its combinatorial
-        # child_blocks*mbb bits, so the lifting loop stops at the
-        # smaller — saves 1-2 full-array roll passes per level.
-        la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
+        # A keeps B's bits above its own data UNMASKED: nothing ever
+        # consumes beyond a node's occupancy — extraction masks every
+        # value to its width, and the wrap-zone proofs of the nz rolls
+        # are content-independent. Dropping the A mask saves ~3 passes
+        # of parent-state traffic per level (measured round 3).
+        A = rows3[:, :Sc, :]
+        # B: phase-aligned — shift down by (pa + la) >> 5 WHOLE WORDS
+        # (no bit funnel); B's bits stay at their sub-word phase. The
+        # lift is bounded by BOTH the child's proven capacity
+        # (phase + la <= Cc*32, measured_schedule's +31 margin) and its
+        # combinatorial child_blocks*mbb bits.
+        la_w_max = min(Cc, ((child_blocks * mbb) >> 5) + 1)
         # NOTE (measured, round 2): replacing this lifting with per-node
         # pltpu.roll dynamic shifts is a LOSS on hardware (10.75 ms vs
         # 8.3 ms per 256 frames) and mis-lowers vs interpret mode —
@@ -226,16 +253,14 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         # provably lands beyond the child truncation [:Sc].
         roll3 = (_roll3_down_nz if C >= Cc + la_w_max + 2
                  else _roll3_down)
-        k3 = (la3 >> 5).astype(_U32)
+        k3 = (cut3 >> 5).astype(_U32)
         Bp = rows3
         step = 1
         while step <= la_w_max:
             bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
             Bp = jnp.where(bit, roll3(Bp, step), Bp)
             step *= 2
-        s = (la3 & 31).astype(_U32)
-        nxtw = roll3(Bp, 1)
-        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Sc, :]
+        Bp = Bp[:, :Sc, :]
         rows3 = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
         ).reshape(2 * M, Sc, 128)
@@ -256,41 +281,30 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
 
     # ---- phase 1 inverse: top-down outer-axis splits --------------------
     Rn = 1
-    for la in reversed(la_p1):
+    for la, pa_l in zip(reversed(la_p1), reversed(pa_p1)):
         M = Rn
         child_blocks = R // (2 * M)
         Cc = min(
             _round_up(_sched_cap(ratio, child_blocks, mbb, cap), 8),
             C,
         )
-        la3 = la[:, None, :].astype(_I32)                   # (M, 1, L)
-        widx = jax.lax.broadcasted_iota(_I32, (M, C, L), 1)
-        la_w = la3 >> 5
-        amask = jnp.where(
-            widx < la_w,
-            jnp.uint32(0xFFFFFFFF),
-            jnp.where(
-                widx == la_w,
-                (_U32(1) << (la3 & 31).astype(_U32)) - _U32(1),
-                _U32(0),
-            ),
-        )
-        A = (state & amask)[:, :Cc, :]
-        # B: shift down by la to bit 0, keep the first Cc words (lift
-        # bounded by the child's proven capacity / combinatorial max,
-        # as in phase 2 above)
-        la_w_max = min(Cc - 1, (child_blocks * mbb) >> 5)
+        cutb = (pa_l + la)[:, None, :].astype(_I32)         # (M, 1, L)
+        # A unmasked, as in phase 2: beyond-occupancy garbage is never
+        # consumed (per-value width masks at extraction)
+        A = state[:, :Cc, :]
+        # B: phase-aligned word-only shift down by (pa + la) >> 5, keep
+        # the first Cc words (lift bounded by the child's proven
+        # capacity / combinatorial max, as in phase 2 above)
+        la_w_max = min(Cc, ((child_blocks * mbb) >> 5) + 1)
         rd = (roll_down_nz if C >= Cc + la_w_max + 2 else roll_down)
-        k = (la3[:, :1, :] >> 5).astype(_U32)
+        k = (cutb[:, :1, :] >> 5).astype(_U32)
         Bp = state
         step = 1
         while step <= la_w_max:
             bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
             Bp = jnp.where(bit, rd(Bp, step, 1), Bp)
             step *= 2
-        s = (la3 & 31).astype(_U32)
-        nxtw = rd(Bp, 1, 1)
-        Bp = ((Bp >> s) | ((nxtw << (_U32(31) - s)) << _U32(1)))[:, :Cc, :]
+        Bp = Bp[:, :Cc, :]
         state = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
         ).reshape(2 * M, Cc, L)
@@ -356,7 +370,15 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         return lst[i] if i < len(lst) else jnp.zeros((R, L), _U32)
 
     rows = [state[:, i, :] for i in range(min(nsrc, cap + 1))]
-    sh = hb.astype(_U32)                                    # 1..12 bits
+    # phase-aligned rows: funnel out phase + header (1..31+12 bits) —
+    # one word-select when the sum crosses a word boundary
+    sh_t = (phase + hb).astype(_I32)
+    k0 = sh_t >= 32                                         # bool (R, L)
+    sh = (sh_t & 31).astype(_U32)
+    rows = [
+        jnp.where(k0, _plane(rows, i + 1), _plane(rows, i))
+        for i in range(len(rows))
+    ]
     rows = [
         (_plane(rows, i) >> sh)
         | ((_plane(rows, i + 1) << (_U32(31) - sh)) << _U32(1))
@@ -499,7 +521,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     """Pallas decode of a batch.
 
     words:  (F, W) uint32 — per-frame streams (walk_archive buckets W)
-    widths: (F, nb) int32 — per-block widths from the header walk
+    widths: (F, nb) int32 or uint8 — per-block widths from the header
+            walk (uint8 preferred: widths are <= 73, and the narrow
+            table is 1/4 the H2D + HBM->VMEM traffic)
     Returns (F, n_padded) int32 values (sign-extended iff spec.signed).
     """
     F, W = words.shape
@@ -517,7 +541,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     widths_p = widths
     if widths.shape[1] < P:
         widths_p = jnp.concatenate(
-            [widths, jnp.zeros((F, P - widths.shape[1]), jnp.int32)],
+            [widths, jnp.zeros((F, P - widths.shape[1]), widths.dtype)],
             axis=1,
         )
     # (F, nb->P) -> natural (F, L, R): [l, r] = block r + R*l (free

@@ -376,7 +376,8 @@ class StreamingEncoder:
         return widths
 
 
-def iter_decode(archive, dtype, chunk_frames: int = 256):
+def iter_decode(archive, dtype, chunk_frames: int = 256,
+                device: bool | None = None):
     """Stream-decode an archive in chunks: yields (F_chunk, n) arrays.
 
     Pipelined: the device unpack of chunk *k* is dispatched asynchronously,
@@ -384,6 +385,11 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
     host while the device drains — so foreign archives without a sidecar
     index aren't bound by the serial walk (the reference's whole decode is
     serial, Terse.hpp:352-389). Peak memory ~2 chunks.
+
+    ``device``: None auto-routes (host chunks unless a real accelerator
+    is attached); True forces the device pipeline on the current jax
+    backend (api.decompress's explicit ``device=True`` contract); False
+    forces chunked host decode.
     """
     import jax
 
@@ -407,7 +413,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256):
 
     from .. import api as _api
 
-    if not _api._accel_backend():
+    if device is False or (device is None and not _api._accel_backend()):
         # CPU-only backend: "overlapping the device" means racing jax's
         # XLA-CPU tree against the native codec on the same cores — the
         # native codec alone is ~100x faster there. Chunked host decode,
