@@ -164,14 +164,19 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         lastw = _I32(0)
 
     # exclusive prefix of block bit-lengths over the natural block order
-    # b = r + R*l (r fastest, Hillis-Steele log-shift scans): every
-    # block's absolute bit offset in the frame. phase = pfx & 31 is the
-    # block's FINAL sub-word phase — staging rows at that phase up front
-    # turns every merge level's variable bit-funnel (~4 full-state VPU
-    # passes x 15 levels) into a pure word-granularity roll (the
-    # phase-aligned merges below). Capacities stay valid: every schedule
-    # carries a +31-bit margin (pack.measured_schedule / row_capacity),
-    # which is exactly phase + length <= cap*32.
+    # b = r + R*l (r fastest): every block's absolute bit offset in the
+    # frame. phase = pfx & 31 is the block's FINAL sub-word phase —
+    # staging rows at that phase up front turns every merge level's
+    # variable bit-funnel (~4 full-state VPU passes x 15 levels) into a
+    # pure word-granularity roll (the phase-aligned merges below).
+    # Capacities stay valid: every schedule carries a +31-bit margin
+    # (pack.measured_schedule / row_capacity), exactly
+    # phase + length <= cap*32.
+    #
+    # Hillis-Steele log-shift scans (a down-sweep over bottom-up level
+    # sums is ~6x less traffic on paper but its per-level sublane
+    # INTERLEAVE mis-lowers in Mosaic — measured 6.0 -> 9.6 ms FULL;
+    # reverted).
     lengths = (hb + width * counts).astype(_I32)            # (R, L)
     inc = lengths
     step = 1
@@ -445,7 +450,10 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
         # input planes [j, r, l] = value j of block b = r + R*l from the
         # frame's NATIVE flat layout: one in-VMEM 2-D transpose + middle-
         # axis slices (the XLA-side (F,L,R,B)->(F,B,R,L) materialization
-        # this replaces cost ~40% of encode wall time, measured round 2)
+        # this replaces cost ~40% of encode wall time, measured round 2).
+        # Widen BEFORE transposing: a u16-native transpose is half the
+        # VMEM traffic on paper but lowers worse (measured +0.24 ms FULL,
+        # round 3); i32 transposes are Mosaic's best-supported relayout.
         xt = xi.astype(_I32).T                              # (R*B, L)
         x3 = xt.reshape(R, B, L)
         return [x3[:, j, :] for j in range(B)]

@@ -133,6 +133,8 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     # sub-word phase — splits below move WHOLE words only and leave each
     # block at its phase (the encode kernel's phase-aligned merge,
     # mirrored; extraction funnels phase + hb out in one pass).
+    # Hillis-Steele scans (the cheaper-on-paper down-sweep interleave
+    # mis-lowers in Mosaic; see pallas_pack).
     inc = block_bits
     pstep = 1
     while pstep < R:
