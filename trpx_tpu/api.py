@@ -270,10 +270,17 @@ def decompress(
             # unpack of chunk k (runtime/stream.iter_decode)
             from .runtime.stream import iter_decode
 
-            out = np.concatenate(
-                list(iter_decode(archive, dtype,
-                                 _DEVICE_CHUNK_FRAMES, device=True))
+            # preallocate + copy each chunk into its slice: concatenating
+            # the chunk list would transiently hold ~2x the decoded output
+            # in host memory (ADVICE r3)
+            out = np.empty(
+                (meta.number_of_frames, meta.number_of_values), dtype
             )
+            lo = 0
+            for chunk in iter_decode(archive, dtype,
+                                     _DEVICE_CHUNK_FRAMES, device=True):
+                out[lo : lo + chunk.shape[0]] = chunk
+                lo += chunk.shape[0]
         else:
             from . import ops
 

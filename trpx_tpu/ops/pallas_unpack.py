@@ -677,7 +677,7 @@ def decode_batch_pallas_tiled(
     if widths.shape[1] < T * Tb:
         widths_p = jnp.concatenate(
             [widths,
-             jnp.zeros((F, T * Tb - widths.shape[1]), jnp.int32)],
+             jnp.zeros((F, T * Tb - widths.shape[1]), widths.dtype)],
             axis=1,
         )
     # (F, T*Tb) -> (F, T, R, L) planes with [r, l] = tile block r + R*l

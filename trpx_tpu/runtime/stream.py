@@ -433,17 +433,22 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
         use_native = False
 
     if not use_native:
-        # no native walker: single full walk, chunked device unpack
+        # no native walker: single full walk, chunked device unpack.
+        # Zero-pad the final partial chunk to C so every chunk shares one
+        # compiled shape — a different leading dim is a fresh XLA compile,
+        # 4-9 min on the tunneled TPU (ADVICE r3)
         widths, _poffs, words = walk_archive(archive, spec)
         for lo in range(0, F, C):
-            hi = min(F, lo + C)
+            nf = min(F, lo + C) - lo
+            wc, wd = words[lo : lo + nf], widths[lo : lo + nf]
+            if nf < C:
+                wc = np.concatenate(
+                    [wc, np.zeros((C - nf, wc.shape[1]), wc.dtype)])
+                wd = np.concatenate(
+                    [wd, np.zeros((C - nf, wd.shape[1]), wd.dtype)])
             vals = np.asarray(
-                jax.device_get(
-                    decode_batch_device(
-                        spec, words[lo:hi], widths[lo:hi]
-                    )
-                )
-            )[:, :n]
+                jax.device_get(decode_batch_device(spec, wc, wd))
+            )[:nf, :n]
             yield narrow_values(vals, dtype)
         return
 
@@ -476,7 +481,9 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
             s = pos + int(fstarts[i])
             e = min(pos + int(fstarts[i + 1]), payload_len)
             bv[i, : e - s] = buf[s:e]
-        widths_p = np.zeros((C, spec.nb), np.int32)
+        # uint8 width tables: widths are <= 73, and the narrow table is
+        # 1/4 the H2D traffic (decode_batch_pallas widens in VMEM)
+        widths_p = np.zeros((C, spec.nb), np.uint8)
         widths_p[:nf] = widths_c
         if spec.pallas_ok_decode:
             # measured schedule, JOINED across chunks (elementwise max):
