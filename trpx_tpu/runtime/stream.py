@@ -429,7 +429,11 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
         from .. import native
 
         use_native = native.available()
-    except Exception:
+    except Exception as e:
+        from .._fallback import warn_once
+
+        warn_once("stream.walk_native", e,
+                  "non-overlapped pure-Python walk")
         use_native = False
 
     if not use_native:
