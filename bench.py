@@ -180,10 +180,15 @@ def bench_512(jax, jnp, F, reps):
         # uint8 width tables (widths <= 73): 1/4 the H2D traffic
         wb, wd = jnp.asarray(wbuf), jnp.asarray(widths.astype(np.uint8))
 
+        # consume TWO corners only: the pallas_call materializes its full
+        # output regardless, and a strided checksum slice (o[:, ::4096])
+        # measured ~0.7-1.4 ms of pure latency-bound DMA gather per rep —
+        # an instrumentation artifact that deflated every round-3 decode
+        # number by ~20%
         @jax.jit
         def dec_sum(wb, wd):
             o = decode_batch_pallas(spec, wb, wd, False, ratio)
-            return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
+            return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
 
         dec_name = f"pallas-split r{ratio}"
     except Exception:
@@ -194,7 +199,7 @@ def bench_512(jax, jnp, F, reps):
         @jax.jit
         def dec_sum(wb, wd):
             o = decode_batch_device(spec, wb, wd, None)
-            return jnp.uint32(jnp.sum(o[:, :: 4096])) + jnp.uint32(o[-1, -1])
+            return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
 
     int(dec_sum(wb, wd))
     t_dec, ts_dec = measure(lambda: int(dec_sum(wb, wd)))
@@ -259,10 +264,12 @@ def bench_big(jax, jnp, reps, edge=2048, F=32):
     wt, wd = jnp.asarray(words_t), jnp.asarray(widths)
     sh, pv = jnp.asarray(shift), jnp.asarray(prev0)
 
+    # two-corner consume (see bench_512's dec_sum): the strided checksum
+    # was a latency-bound DMA artifact in the measurement
     @jax.jit
     def dec_sum(wt, wd, sh, pv):
         o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv, False, ratio)
-        return jnp.uint32(jnp.sum(o[:, :: 65536])) + jnp.uint32(o[-1, -1])
+        return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
 
     int(dec_sum(wt, wd, sh, pv))
     t_dec, ts_dec = measure(lambda: int(dec_sum(wt, wd, sh, pv)))

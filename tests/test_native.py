@@ -99,6 +99,37 @@ def test_walk_matches_pycodec():
     assert fstarts[4] == pos == arch.meta.memory_size
 
 
+@pytest.mark.parametrize("dtype,hot", [(np.uint32, 2_000_000_000),
+                                       (np.uint16, 60000),
+                                       (np.int32, -1_000_000_000),
+                                       (np.uint64, 2**31)])
+def test_wide_walk_matches_branchy(dtype, hot):
+    """The branchless wide-stream walk (selected via max_width > 16) must
+    produce identical tables to the branchy loop on every stream —
+    overflow-heavy, zero runs, partial tail blocks."""
+    rng = np.random.default_rng(9)
+    n = 1000  # 1000 % 12 != 0: partial tail block
+    frames = rng.poisson(3.0, size=(5, n)).astype(dtype)
+    frames[:, 100:300] = 0                      # zero runs
+    frames[rng.random((5, n)) < 0.02] = hot     # scattered wide blocks
+    arch = pycodec.encode(list(frames))
+    F, blk = 5, arch.meta.block
+    # max(…, 17) forces the wide loop even for narrow streams (the u16
+    # case): _check_width only rejects widths ABOVE the bound, so a
+    # raised bound stays valid while exercising the branchless walker
+    mw = max(arch.meta.prolix_bits, 17)
+    w0, p0, f0 = native.walk(arch.payload, F, n, blk)  # branchy (no hint)
+    w1, p1, f1 = native.walk(arch.payload, F, n, blk, max_width=mw)
+    np.testing.assert_array_equal(w0, w1)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_array_equal(f0, f1)
+    # indexed variant too
+    w2, p2 = native.walk_indexed(arch.payload, f0[:-1], n, blk,
+                                 max_width=mw)
+    np.testing.assert_array_equal(w0, w2)
+    np.testing.assert_array_equal(p0, p2)
+
+
 def test_clamp_and_sign_extension_semantics():
     """B4 semantics: decoding unsigned streams into signed targets
     sign-extends top-bit-set fields; narrow targets clamp."""

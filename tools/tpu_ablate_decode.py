@@ -72,7 +72,8 @@ def main():
             ratio = choose_schedule(spec, widths)
             print(f"ratio {ratio}", file=sys.stderr)
         wbs.append(wbuf)
-        wds.append(jnp.asarray(widths))
+        # u8 width tables: the production decode path (1/4 the DMA)
+        wds.append(jnp.asarray(widths.astype(np.uint8)))
     # the walk buckets W per batch: pad to the common max so one compiled
     # step serves every input
     Wmax = max(w.shape[1] for w in wbs)
@@ -105,7 +106,10 @@ def main():
                 for i in range(chain):
                     o = decode_batch_pallas(spec, a[2 * i], a[2 * i + 1],
                                             False, ratio, cut)
-                    chk = (chk + jnp.uint32(jnp.sum(o[:, :: 4096]))
+                    # two-corner consume: the pallas output is fully
+                    # materialized regardless; the old strided checksum
+                    # (o[:, ::4096]) cost ~1.4 ms of DMA gather per call
+                    chk = (chk + jnp.uint32(o[0, 0])
                            + jnp.uint32(o[-1, -1]))
                 return chk
             return step

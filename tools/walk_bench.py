@@ -43,13 +43,24 @@ def bench(name, frames, block=12, reps=5):
         native.walk(buf, F, n, block, want_poffs=False)
         ts_np.append(time.perf_counter() - t0)
     tn = min(ts_np)
+    # production path: max_width = prolix_bits selects the branchless
+    # wide-stream loop for overflow-heavy streams (prolix > 16)
+    native.walk(buf, F, n, block, want_poffs=False, max_width=prolix)
+    ts_w = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        native.walk(buf, F, n, block, want_poffs=False, max_width=prolix)
+        ts_w.append(time.perf_counter() - t0)
+    tw = min(ts_w)
     blocks = F * nb
     print(
         f"{name}: {F / t:,.0f} fps walk ({blocks / t / 1e6:.1f} Mblk/s, "
         f"{len(payload) / t / 1e9:.2f} GB/s through) | no-poffs {F / tn:,.0f} fps"
+        f" | prod (wide={int(prolix > 16)}) {F / tw:,.0f} fps "
+        f"({blocks / tw / 1e6:.1f} Mblk/s)"
         f" | payload {len(payload) / 1e6:.1f} MB, prolix {prolix}"
     )
-    return F / t
+    return F / tw
 
 
 if __name__ == "__main__":

@@ -131,8 +131,13 @@ def _common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--index", action="store_true",
                    help="also write a .trpx.idx v2 sidecar (frame offsets"
                         " + width tables: later decodes skip the serial "
-                        "header walk entirely; on decode, caches a "
-                        "foreign archive's first walk)")
+                        "header walk entirely). On decode of a foreign "
+                        "archive this is the DEFAULT (the sidecar is "
+                        "written from the walk the decode already did); "
+                        "--no-index opts out")
+    p.add_argument("--no-index", action="store_true",
+                   help="decode: do not cache a foreign archive's walk "
+                        "as a .trpx.idx sidecar")
     p.add_argument("--jobs", type=int, default=1, metavar="N",
                    help="process N files concurrently (thread pool; the "
                         "native codec releases the GIL, so parse/IO of "
@@ -401,16 +406,32 @@ def _decode_files(args) -> int:
             else:
                 # square fallback (prolix.cpp:62-63)
                 w = h = int(math.isqrt(meta.number_of_values))
+            had_sidecar = getattr(archive, "width_table", None) is not None
             pixels = api.decompress(archive, device=device, frames=sel)
             pixels = pixels.reshape(-1, h, w)
             t2 = time.perf_counter()
-            if args.index and getattr(archive, "width_table", None) is None:
-                # cache the walk of a foreign archive: later decodes of
-                # this file skip the serial header walk (v2 sidecar)
+            want_index = args.index or (
+                not getattr(args, "no_index", False)
+                and sel is None          # subset decodes don't walk it all
+                and not args.delete_inputs   # file is about to vanish
+            )
+            if want_index and not had_sidecar:
+                # cache the walk of a foreign archive as a v2 sidecar —
+                # BY DEFAULT: every later decode of this file is then
+                # walk-free. The decode's own walk is reused when the
+                # device path cached it on the archive (walk_archive);
+                # otherwise one native walk builds the tables.
                 from ..io.trpx import _compute_offsets, write_index
 
-                offs, wt = _compute_offsets(archive)
-                write_index(src, offs, meta.memory_size, widths=wt)
+                offs = getattr(archive, "frame_index", None)
+                wt = getattr(archive, "width_table", None)
+                if offs is None or wt is None:
+                    offs, wt = _compute_offsets(archive)
+                try:
+                    write_index(src, offs, meta.memory_size, widths=wt)
+                except OSError as e:  # read-only dir: sidecar is optional
+                    print(f"note: could not write sidecar for {src}: {e}",
+                          file=sys.stderr)
             _atomic_write(_out_path(src, ".tif", args.out_dir),
                           lambda f: write_tiff(pixels, f),
                           durable=args.delete_inputs)

@@ -81,12 +81,12 @@ def _load() -> ctypes.CDLL | None:
         lib.trpx_walk.restype = ctypes.c_int
         lib.trpx_walk.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, c_i32p, c_i64p, c_i64p,
+            ctypes.c_int64, c_i32p, c_i64p, c_i64p, ctypes.c_int,
         ]
         lib.trpx_walk_indexed.restype = ctypes.c_int
         lib.trpx_walk_indexed.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, c_i64p, c_i32p, c_i64p,
+            ctypes.c_int64, c_i64p, c_i32p, c_i64p, ctypes.c_int,
         ]
         lib.trpx_encode_frames.restype = ctypes.c_int64
         lib.trpx_encode_frames.argtypes = [
@@ -157,6 +157,13 @@ def _check_width(rc: int, max_width: int | None) -> None:
             f"header's prolix_bits={max_width}")
 
 
+def _wide_hint(max_width: int | None) -> int:
+    """Select the branchless wide-stream walk loop: on overflow-heavy
+    streams (field widths > 16 bits) the repeat/explicit branch
+    mispredicts at ~every width change; prolix_bits is a free proxy."""
+    return int(max_width is not None and max_width > 16)
+
+
 def walk(payload, nframes: int, nvalues: int, block: int,
          want_poffs: bool = True, out_widths: np.ndarray | None = None,
          max_width: int | None = None):
@@ -185,7 +192,7 @@ def walk(payload, nframes: int, nvalues: int, block: int,
         _ptr(buf, ctypes.c_uint8), plen, nframes, nvalues, block,
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
-        _ptr(fstarts, ctypes.c_int64),
+        _ptr(fstarts, ctypes.c_int64), _wide_hint(max_width),
     )
     _check_width(rc, max_width)
     return widths, poffs, fstarts
@@ -225,7 +232,7 @@ def walk_chunk(buf: np.ndarray, start: int, nframes: int, nvalues: int,
         _ptr(sub, ctypes.c_uint8), payload_len, nframes, nvalues, block,
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
-        _ptr(fstarts, ctypes.c_int64),
+        _ptr(fstarts, ctypes.c_int64), _wide_hint(max_width),
     )
     _check_width(rc, max_width)
     return widths, poffs, fstarts
@@ -258,6 +265,7 @@ def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
         _ptr(fstarts, ctypes.c_int64),
         _ptr(widths, ctypes.c_int32),
         _ptr(poffs, ctypes.c_int64) if want_poffs else None,
+        _wide_hint(max_width),
     )
     _check_width(rc, max_width)
     return widths, poffs

@@ -470,7 +470,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     for lo in range(0, F, C):
         nf = min(C, F - lo)
         widths_c, _poffs_c, fstarts = native.walk_chunk(
-            buf, pos, nf, n, spec.block
+            buf, pos, nf, n, spec.block, max_width=meta.prolix_bits
         )
         sizes = fstarts[1:] - fstarts[:-1]
         # bucket the word capacity (pow2) to bound recompiles
