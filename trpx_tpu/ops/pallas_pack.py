@@ -270,19 +270,19 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     max_bits = spec.max_block_bits
     level = 0
 
-    def roll_up_nz(x, step, axis):
-        """roll toward higher indices WITHOUT the wrap mask: B2 is
-        zero-padded to 2C and, per lane, the prefix-of-k shifted so far
-        plus the current (set-bit) step never exceeds k <= C (the child's
-        occupancy phase+length <= C*32 words), so every wrapped-in
-        element is provably zero."""
-        return jnp.roll(x, step, axis=axis)
-
     # ---- phase 1: merge along the outer node axis -----------------------
     # C stays 8-aligned so sublane-axis concats sit on tile boundaries.
     # Rows are PHASE-ALIGNED: block bits already sit at their final
-    # sub-word phase, so B lifts by (phase_a + la) >> 5 WHOLE WORDS — no
-    # per-level bit funnel (removed round 3: ~4 full-state passes/level).
+    # sub-word phase, so B lifts by k = (phase_a + la) >> 5 WHOLE WORDS —
+    # no per-level bit funnel (removed round 3). The lift is a CYCLIC
+    # rotation of B within its OWN C words (round 4): the schedule margin
+    # proves k <= C, so B's final position [k, k + wb) is exactly the
+    # rotation split across the low/high halves — words that wrap around
+    # are precisely the high-half content. jnp.roll wraps natively, so
+    # each lift pass touches C words instead of the zero-padded 2C of
+    # rounds 1-3 (half the lift traffic), the k == C bit needs no pass
+    # (rotation by C is the identity), and one idx >= k select at
+    # assembly routes each rotated word to its half.
     pa = phase                                              # (R, L)
     Rn = R
     while Rn > 1:
@@ -295,25 +295,22 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         lb = l3[:, 1, :]
         pa = pa.reshape(M, 2, L)[:, 0, :]                   # (M, L)
         la_bound = min(max_bits, C * 32)
-        C2 = 2 * C
-        zpad = jnp.zeros((M, C, L), _U32)
-        B2 = jnp.concatenate([Bp, zpad], axis=1)
         k = ((pa + la) >> 5).astype(_U32)
         step = 1
         j = 0
-        while step <= la_bound // 32 + 1 and step < C2:
+        while step <= la_bound // 32 + 1 and step < C:
             bit = ((k >> j) & 1).astype(bool)[:, None, :]
-            B2 = jnp.where(bit, roll_up_nz(B2, step, 1), B2)
+            Bp = jnp.where(bit, jnp.roll(Bp, step, axis=1), Bp)
             step *= 2
             j += 1
-        # A occupies only the first C words: OR it into the lifted B's
-        # low half instead of materializing a zero-padded A2 (one fewer
-        # full-state temporary per level; merges are VPU-memory-bound)
+        idx = jax.lax.broadcasted_iota(_I32, (M, C, L), 1)
+        ge = idx >= k.astype(_I32)[:, None, :]
         state = jnp.concatenate(
-            [A | B2[:, :C, :], B2[:, C:, :]], axis=1)       # (M, C2, L)
+            [A | jnp.where(ge, Bp, _U32(0)),
+             jnp.where(ge, _U32(0), Bp)], axis=1)           # (M, 2C, L)
         lengths = la + lb
         Rn = M
-        C = C2
+        C = 2 * C
         max_bits *= 2
         level += 1
         if use_soft and level < len(caps) and caps[level] < C:
@@ -342,10 +339,13 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
 
     # ---- phase 2: merge along the outer node axis of (M, S, 128) grids --
     # Word w of node m lives at [m, w >> 7, w & 127]: pairs split by an
-    # outer reshape, B lifts UP by (phase_a + la) >> 5 whole words via
-    # _roll3_up_nz (sublane rolls + <128 lane rolls — every step
-    # well-tiled even at M == 1, unlike the old (M, C) lane-axis rolls
-    # that dominated the round-1 ablation).
+    # outer reshape, B lifts UP by k = (phase_a + la) >> 5 whole words.
+    # As in phase 1 (round 4), the lift is a CYCLIC rotation within B's
+    # OWN S sublanes — _roll3_up_nz's lane-carry wraps, so it already IS
+    # a true word rotation mod C — at half the zero-padded 2S traffic,
+    # with one word-index >= k select at assembly routing each rotated
+    # word to its half (k <= C by the schedule margin; the k == C bit is
+    # the identity rotation and needs no pass).
     Pn = L
     while Pn > 1:
         M = Pn // 2
@@ -359,20 +359,22 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         pa_p = pp.reshape(M, 2, L)[:, 0, :]                 # (M, L)
         la = la_p[:, :1].astype(_I32)                       # (M, 1)
         pa2 = pa_p[:, :1].astype(_I32)                      # (M, 1)
-        zero = jnp.zeros((M, S, 128), _U32)
-        B2 = jnp.concatenate([Bp, zero], axis=1)            # (M, 2S, 128)
         # phase-aligned: word-granularity lift only (no bit funnel)
-        k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, 2 * S)
+        k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, S)
         step = 1
         j = 0
-        while step <= C and step < 2 * C:
+        while step < C:
             bit = ((k3 >> j) & 1) != 0
-            B2 = jnp.where(bit, _roll3_up_nz(B2, step), B2)
+            Bp = jnp.where(bit, _roll3_up_nz(Bp, step), Bp)
             step *= 2
             j += 1
-        # as in phase 1: A lives in the first S sublanes only
+        sub_i = jax.lax.broadcasted_iota(_I32, (M, S, 128), 1)
+        lane_i = jax.lax.broadcasted_iota(_I32, (M, S, 128), 2)
+        ge = (sub_i * 128 + lane_i) >= \
+            jax.lax.bitcast_convert_type(k3, _I32)
         state3 = jnp.concatenate(
-            [A | B2[:, :S, :], B2[:, S:, :]], axis=1)       # (M, 2S, 128)
+            [A | jnp.where(ge, Bp, _U32(0)),
+             jnp.where(ge, _U32(0), Bp)], axis=1)           # (M, 2S, 128)
         lp = la_p + lb_p
         pp = pa_p
         Pn = M
@@ -496,33 +498,16 @@ def _bcast3(v, M: int, S: int):
     return pltpu.repeat(t, S, axis=1)
 
 
-def _roll3_up(x, step: int):
-    """Static word shift toward higher indices on a (M, S, 128) word grid
-    (word w = s*128 + l). Binary-lifting steps are powers of two, so a
-    step is either a multiple of 128 (pure sublane roll — cheap) or
-    < 128 (one lane roll + a sublane-carry fix) — never a lane shift
-    across the full row, which starved sublanes at deep merge levels
-    (the round-1 ablation's dominant cost)."""
-    M, S, L = x.shape
-    if step >= S * L:
-        return jnp.zeros_like(x)
-    if step % L == 0:
-        k = step // L
-        rolled = jnp.roll(x, k, axis=1)
-        sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
-        return jnp.where(sub >= k, rolled, _U32(0))
-    a = jnp.roll(x, step, axis=2)
-    b = jnp.roll(a, 1, axis=1)
-    sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
-    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
-    bm = jnp.where(sub >= 1, b, _U32(0))
-    return jnp.where(lane >= step, a, bm)
-
-
 def _roll3_up_nz(x, step: int):
-    """_roll3_up WITHOUT the wrap masks — valid only when every wrapped
-    element is provably zero (the merge lifts: B2 zero-padded to 2C and
-    shifted by at most la_w <= C words total; see roll_up_nz)."""
+    """Word shift toward higher indices on a (M, S, 128) word grid
+    (word w = s*128 + l) WITHOUT wrap masks. Binary-lifting steps are
+    powers of two, so a step is either a multiple of 128 (pure sublane
+    roll — cheap) or < 128 (one lane roll + a sublane-carry fix) — never
+    a lane shift across the full row, which starved sublanes at deep
+    merge levels (the round-1 ablation's dominant cost). Both rolls
+    wrap, so the composition over the bits of k is a true CYCLIC word
+    rotation mod S*128 — exactly what the round-4 half-buffer merge
+    lifts need (the wrapped-around words ARE the high-half content)."""
     M, S, L = x.shape
     if step >= S * L:
         return jnp.zeros_like(x)
@@ -535,10 +520,11 @@ def _roll3_up_nz(x, step: int):
 
 
 def _roll3_down_nz(x, step: int):
-    """_roll3_down WITHOUT the wrap masks — valid when the caller proves
-    the wrapped-in zone [size - total_shift, size) is never consumed
-    (decode drops masks only on levels where C >= Cc + la_w_max + 2, so
-    the child truncation [:Sc] excludes the zone)."""
+    """Inverse of _roll3_up_nz: cyclic word rotation toward lower
+    indices (mod S*128). The wrap zone [S*128 - total_k, S*128) of the
+    composed rotation is handled by decode's callers with ONE select
+    after the child truncation — or not at all when the truncation
+    provably excludes it."""
     M, S, L = x.shape
     if step >= S * L:
         return jnp.zeros_like(x)
@@ -548,24 +534,6 @@ def _roll3_down_nz(x, step: int):
     b = jnp.roll(a, -1, axis=1)
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     return jnp.where(lane < L - step, a, b)
-
-
-def _roll3_down(x, step: int):
-    """Inverse of _roll3_up: shift toward lower word indices."""
-    M, S, L = x.shape
-    if step >= S * L:
-        return jnp.zeros_like(x)
-    if step % L == 0:
-        k = step // L
-        rolled = jnp.roll(x, -k, axis=1)
-        sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
-        return jnp.where(sub < S - k, rolled, _U32(0))
-    a = jnp.roll(x, -step, axis=2)
-    b = jnp.roll(a, -1, axis=1)
-    sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
-    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
-    bm = jnp.where(sub < S - 1, b, _U32(0))
-    return jnp.where(lane < L - step, a, bm)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
