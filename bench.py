@@ -161,13 +161,19 @@ def bench_512(jax, jnp, F, reps):
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
     # median of reps: the walk shares the 4 host cores with the JAX
     # runtime's service threads, and a single sample can catch a burst
-    # of contention (observed 10x outliers on driver runs)
+    # of contention (observed 10x outliers on driver runs).
+    # Each rep walks a FRESH index-free archive view: this times true
+    # first contact (the serial foreign-archive walk) — the encoder
+    # archive carries frame_index (parallel walk), and walk_archive now
+    # caches its tables on the archive (walk-free repeats).
     walk_ts = []
     for _ in range(max(3, min(reps, 5))):
+        cold = type(arch)(meta=arch.meta, payload=arch.payload)
+        cold._padded_buf = getattr(arch, "_padded_buf", None)
         t0 = time.perf_counter()
-        widths, poffs, wbuf = walk_archive(arch, spec)
+        widths, poffs, wbuf = walk_archive(cold, spec)
         walk_ts.append(time.perf_counter() - t0)
-    walk_s = statistics.median(walk_ts)  # steady-state (serial, no sidecar)
+    walk_s = statistics.median(walk_ts)  # serial walk + gather, no sidecar
 
     dec_name = "jnp-tree"
     try:
@@ -208,7 +214,14 @@ def bench_512(jax, jnp, F, reps):
         enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * arch.meta.number_of_values * 2 / t_enc / 1e9,
         dec_gbs=F * arch.meta.number_of_values * 2 / t_dec / 1e9,
-        walk_fps=F / walk_s, ts_enc=ts_enc, ts_dec=ts_dec,
+        walk_fps=F / walk_s,
+        # honest FIRST-CONTACT number: a foreign archive (no sidecar)
+        # pays the serial walk + the device unpack; no overlap assumed
+        # (iter_decode pipelines them, so production sits between this
+        # and dec_fps — after the first decode the sidecar-by-default
+        # makes every later decode walk-free)
+        foreign_fps=F / (walk_s + t_dec),
+        ts_enc=ts_enc, ts_dec=ts_dec,
     )
 
 
@@ -256,11 +269,18 @@ def bench_big(jax, jnp, reps, edge=2048, F=32):
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
     walk_ts = []
     for _ in range(3):
+        # a fresh archive view per rep: walk_archive caches its tables
+        # on the archive (sidecar-by-default support), and the walk
+        # being timed here is the UNCACHED foreign-archive case
+        cold = type(arch)(meta=arch.meta, payload=arch.payload)
+        cold._padded_buf = getattr(arch, "_padded_buf", None)
         t0 = time.perf_counter()
-        widths, _poffs, wbuf = walk_archive(arch, spec)
+        widths, _poffs, wbuf = walk_archive(cold, spec)
         walk_ts.append(time.perf_counter() - t0)
     walk_s = statistics.median(walk_ts)
+    t0 = time.perf_counter()
     words_t, shift, prev0, ratio = tile_prepass(spec, widths, wbuf)
+    prep_s = time.perf_counter() - t0
     wt, wd = jnp.asarray(words_t), jnp.asarray(widths)
     sh, pv = jnp.asarray(shift), jnp.asarray(prev0)
 
@@ -277,6 +297,10 @@ def bench_big(jax, jnp, reps, edge=2048, F=32):
         rtt=rtt, enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * n * 4 / t_enc / 1e9, dec_gbs=F * n * 4 / t_dec / 1e9,
         walk_fps=F / walk_s, dec_ratio=ratio,
+        # first contact on a foreign archive: serial walk + tile prepass
+        # + device unpack (no overlap assumed; sidecar-by-default makes
+        # later decodes walk-free)
+        foreign_fps=F / (walk_s + prep_s + t_dec),
         ts_enc=ts_enc, ts_dec=ts_dec,
     )
 
@@ -360,6 +384,8 @@ def main() -> None:
             extra_2k.update({
                 f"encode_{edge}x{edge}_u32_frames_per_s": round(rb["enc_fps"], 1),
                 f"decode_{edge}x{edge}_u32_frames_per_s": round(rb["dec_fps"], 1),
+                f"foreign_decode_{edge}x{edge}_u32_frames_per_s":
+                    round(rb["foreign_fps"], 1),
                 f"encode_{edge}_vs_reference": round(rb["enc_fps"] / ref_fps, 2),
             })
         except Exception as e:  # pragma: no cover - backend-dependent
@@ -374,6 +400,7 @@ def main() -> None:
         "decode_512x512_u16_frames_per_s": round(r5["dec_fps"], 1),
         "decode_vs_reference": round(r5["dec_fps"] / REFERENCE_DECODE_FPS, 2),
         "host_walk_frames_per_s": round(r5["walk_fps"], 1),
+        "foreign_decode_512x512_u16_frames_per_s": round(r5["foreign_fps"], 1),
         **extra_2k,
     }))
 
