@@ -126,15 +126,23 @@ def _cut_row(chk, ow: int):
 
 def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                  n_total: int | None = None, cut: int | None = None,
-                 block_offset=None, prev0=None, want_carry: bool = False):
+                 block_offset=None, prev0=None, want_carry: bool = False,
+                 s0=None):
     """Encode ONE frame (or tile) given its (R, L) value planes.
 
     Pure arrays -> arrays: returns (grid — (ow_pad/128, 128) uint32
     packed words, word w at [w >> 7, w & 127], with the three scalar
-    slots in the last three positions — and the frame's LAST block width,
-    for the tiled carry chain; 0 unless ``want_carry``). Keeping the body
-    free of refs lets _kernel run it both one-per-grid-step and under a
-    fori_loop over a multi-frame block (grid-step amortization).
+    slots in the last three positions — the frame's LAST block width for
+    the tiled carry chain (0 unless ``want_carry``), and the stream's
+    total bit count). Keeping the body free of refs lets _kernel run it
+    both one-per-grid-step and under a fori_loop over a multi-frame
+    block (grid-step amortization).
+
+    ``s0`` (tiled): the tile's GLOBAL sub-word phase — the accumulated
+    bit count of all previous tiles mod 32, carried through the SMEM
+    chain. Folding it into the block phases makes the emitted tile
+    stream sit at its final phase, so the host placement merge is pure
+    word-offset DUS work (no funnel pass over the tile streams).
 
     ``cut`` (ablation only, tools/tpu_ablate_pallas.py): stop after that
     many merge levels (0 = stage only, -1 = plan only) and emit a
@@ -193,11 +201,17 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         lidx = jax.lax.broadcasted_iota(_I32, (1, L), 1)
         lt = lt + jnp.where(lidx >= step, sh, _I32(0))
         step *= 2
-    phase = ((inc - lengths) + (lt - lane_tot)) & 31        # (R, L)
+    pfx = (inc - lengths) + (lt - lane_tot)                 # (R, L)
+    if s0 is not None:  # tiled: fold the tile's global sub-word phase
+        pfx = pfx + s0.astype(_I32)
+    phase = pfx & 31                                        # (R, L)
+    # total stream bits (masked-max: plain scalar indexing of a 2-D
+    # vector trips Mosaic) — the tiled SMEM chain accumulates this
+    total = jnp.max(lt)
 
     if cut is not None and cut < 0:  # plan only
         return _cut_row(jnp.sum(width + hb + counts + phase)
-                        + jnp.sum(hv.astype(_I32)), ow_pad), lastw
+                        + jnp.sum(hv.astype(_I32)), ow_pad), lastw, total
 
     wmask = jnp.where(
         width >= 32,
@@ -205,27 +219,59 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         (_U32(1) << jnp.clip(width, 0, 31).astype(_U32)) - _U32(1),
     )
 
-    # ---- stage: (R, cap, L) — one fixed-capacity row per block ----------
-    # placements land PHASE-SHIFTED (off += phase): each block's bits sit
-    # at their final sub-word phase straight out of staging (~5x cheaper
-    # than a separate full-state alignment funnel — contributions are
-    # sparse, the funnel touches every word)
+    # ---- stage: progressive-shift build of each block's row (round 4) ---
+    # Mirror of the decode kernel's progressive-shift extraction: value
+    # groups are consumed from the HIGH end; each step shifts the
+    # partial row up by stride*width bits and ORs the next group into
+    # word 0, so group j ends at bit j*width and the live word span
+    # GROWS with the groups placed — early steps touch 1-2 words.
+    # Replaces the masked-select placement loop (union-over-widths
+    # candidate scan: ~41 candidate words x 5 ops per block): ~30% fewer
+    # stage ops. The per-lane up-shift s = stride*width is in [0, 32]
+    # (value fusing keeps groups <= one 32-bit window): (x << 1) << (s-1)
+    # is exact for s in [1, 32], and s == 0 only on width-0 lanes whose
+    # row content is identically zero — no per-word k-select needed.
+    # i32 is the one exception (fields up to 33 bits): its shift keeps a
+    # word-select, and the 33rd bit (the sign) lands in word 1 directly.
     ph = phase.astype(_U32)                                 # (R, L)
-    cols = [jnp.zeros((R, L), _U32) for _ in range(cap)]
-    cols[0] = hv << ph
-    cols[1] = (hv >> (_U32(31) - ph)) >> _U32(1)
-    # bound the reachable word span by the dtype's REAL max field width
-    # (the capacity-derived bound over-estimates, e.g. 20 vs 16 for u16)
-    max_w = min((cap * 32 - 12) // B, spec.max_width)
-    # value fusing: when ``stride`` fields always fit one 32-bit window
-    # (stride*max_width <= 32: pairs for u16/i8, quads for u8), fuse
-    # values j..j+stride-1 into one placement — divides the
-    # masked-select staging loop by stride
     stride = 4 if spec.max_width <= 8 else (
         2 if spec.max_width <= 16 else 1)
     wu = jnp.clip(width, 0, 31).astype(_U32)
-    for j in range(0, B, stride):
-        off = phase + hb + j * width                        # (R, L)
+    zplane = jnp.zeros((R, L), _U32)
+
+    def _p(lst, i):
+        return lst[i] if 0 <= i < len(lst) else zplane
+
+    s1 = (stride * width).astype(_U32)                      # [0, 32(+1)]
+    s1c = jnp.clip(s1.astype(_I32) - 1, 0, 31).astype(_U32)
+    if spec.max_width > 32:                                 # i32: s1 <= 33
+        k1 = (s1 >= 32)
+        sr = (s1 & 31).astype(_U32)                         # 32->0, 33->1
+        src = jnp.clip(sr.astype(_I32) - 1, 0, 31).astype(_U32)
+        sr0 = sr == 0
+    rows = [zplane] * cap
+    for g, j in enumerate(reversed(range(0, B, stride))):
+        if g:
+            # g groups in the row; post-shift top bit < (g+1)*stride*max_w
+            span = min(cap,
+                       ((g + 1) * stride * spec.max_width + 31) // 32)
+            if spec.max_width > 32:
+                a = [jnp.where(k1, _p(rows, i - 1), _p(rows, i))
+                     for i in range(span)]
+                rows = [
+                    jnp.where(
+                        sr0, a[i],
+                        ((a[i] << _U32(1)) << src)
+                        | (_p(a, i - 1) >> (_U32(31) - src)),
+                    )
+                    for i in range(span)
+                ]
+            else:
+                rows = [
+                    ((_p(rows, i) << _U32(1)) << s1c)
+                    | (_p(rows, i - 1) >> (_U32(31) - s1c))
+                    for i in range(span)
+                ]
         valid = (j < counts) & (width > 0)
         vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
         vj = jnp.where(valid, vu, _U32(0))
@@ -236,34 +282,39 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
             vud = jax.lax.bitcast_convert_type(vplanes[j + d], _U32) & wmask
             # zeros land beyond the block's own bits when j+d is padding
             vj = vj | (jnp.where(validd, vud, _U32(0)) << (wu * _U32(d)))
-        word_idx = off >> 5
-        bit_idx = (off & 31).astype(_U32)
-        lo = vj << bit_idx
-        hi = (vj >> (_U32(31) - bit_idx)) >> _U32(1)
+        rows[0] = _p(rows, 0) | vj
         if spec.max_width > 32:
+            # width-33 fields: bit 32 (the int32 sign) is word 1 bit 0
             vhj = jnp.where(
                 valid & (width > 32),
                 ((vplanes[j] < 0) & (width == 33)).astype(_U32),
                 _U32(0),
             )
-            hi = hi | (vhj << bit_idx)
-            hi2 = (vhj >> (_U32(31) - bit_idx)) >> _U32(1)
-        i_lo = (1 + j) >> 5
-        i_hi = min(cap - 1, ((31 + 12 + (j + stride) * max_w) >> 5) + 2)
-        for i in range(i_lo, i_hi + 1):
-            contrib = jnp.where(word_idx == i, lo, _U32(0)) | jnp.where(
-                word_idx == i - 1, hi, _U32(0)
-            )
-            if spec.max_width > 32:
-                contrib = contrib | jnp.where(word_idx == i - 2, hi2,
-                                              _U32(0))
-            cols[i] = cols[i] | contrib
-    state = jnp.stack(cols, axis=1)                         # (R, cap, L)
+            rows[1] = _p(rows, 1) | vhj
+    # final funnel to the block's phase: payload moves from bit 0 to bit
+    # phase + hb (1..43), then the header lands at [phase, phase + hb)
+    t = (phase + hb).astype(_I32)
+    kk = t >= 32
+    tl = (t & 31).astype(_U32)
+    tlc = jnp.clip(tl.astype(_I32) - 1, 0, 31).astype(_U32)
+    tl0 = tl == 0
+    a = [jnp.where(kk, _p(rows, i - 1), _p(rows, i)) for i in range(cap)]
+    rows = [
+        jnp.where(
+            tl0, a[i],
+            ((a[i] << _U32(1)) << tlc)
+            | (_p(a, i - 1) >> (_U32(31) - tlc)),
+        )
+        for i in range(cap)
+    ]
+    rows[0] = rows[0] | (hv << ph)
+    rows[1] = rows[1] | ((hv >> (_U32(31) - ph)) >> _U32(1))
+    state = jnp.stack(rows, axis=1)                         # (R, cap, L)
     # (rows leave staging already at their final sub-word phase;
     # row_capacity's +31-bit margin guarantees phase + length fits cap)
     if cut == 0:  # stage only (incl. the phase shift)
         return _cut_row(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                        + jnp.sum(lengths), ow_pad), lastw
+                        + jnp.sum(lengths), ow_pad), lastw, total
 
     overflow = jnp.zeros((), bool)
     C = cap
@@ -322,7 +373,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         if cut is not None and level >= cut:
             return _cut_row(
                 jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                + jnp.sum(lengths), ow_pad), lastw
+                + jnp.sum(lengths), ow_pad), lastw, total
 
     # ---- transition: 128 lane-trees -> (L, S, 128) word grids -----------
     C128 = _round_up(C, 128)
@@ -397,7 +448,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         if cut is not None and level >= cut:
             return _cut_row(
                 jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
-                + jnp.sum(lp), ow_pad), lastw
+                + jnp.sum(lp), ow_pad), lastw, total
 
     # keep the (S, 128) word-grid layout all the way to the output
     # boundary: the old reshape to a (1, C) lane row was a full
@@ -422,7 +473,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     wi = jnp.where(tail & (lane_i == 125), lp[0, 0], wi)
     wi = jnp.where(tail & (lane_i == 126), jnp.max(width), wi)
     wi = jnp.where(tail & (lane_i == 127), overflow.astype(_I32), wi)
-    return jax.lax.bitcast_convert_type(wi, _U32), lastw
+    return jax.lax.bitcast_convert_type(wi, _U32), lastw, total
 
 
 def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
@@ -431,11 +482,14 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     """One grid step: one frame (untiled) or one TILE of a big frame
     (when ``carry_ref``/``n_total`` are provided, grid (F, T)).
 
-    ``carry_ref`` is a (1,) SMEM scratch that carries the previous tile's
-    last block width across the sequential T grid steps (the repeat-coding
-    chain crosses tile boundaries, Terse.hpp:517-535); at t == 0 the chain
-    resets, so the carry never leaks between frames even when a Megacore
-    splits the F axis.
+    ``carry_ref`` is a (2,) SMEM scratch chained across the sequential T
+    grid steps: slot 0 carries the previous tile's last block width (the
+    repeat-coding chain crosses tile boundaries, Terse.hpp:517-535),
+    slot 1 the accumulated bit count of all previous tiles (whose low 5
+    bits are this tile's GLOBAL sub-word phase — folded into the block
+    phases so the host placement merge needs no funnel pass). At t == 0
+    the chain resets, so the carry never leaks between frames even when
+    a Megacore splits the F axis.
 
     (A multi-frame-per-step variant — fori_loop over a grouped block with
     dynamic leading-dim ref indexing — was measured round 3 at +-1% of
@@ -463,21 +517,24 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     if tiled:
         t = pl.program_id(1)
         prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
+        acc = jnp.where(t == 0, _I32(0), carry_ref[1])
         if natural:
             vplanes = natural_planes(frame_ref[0, 0])
         else:
             vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
-        row, lastw = _encode_body(
+        row, lastw, total = _encode_body(
             spec, vplanes, ow_pad, n_total=n_total, cut=cut,
-            block_offset=t * P, prev0=prev0, want_carry=True)
-        # hand this tile's last-block width to the next grid step (the
-        # final tile's store is never consumed)
+            block_offset=t * P, prev0=prev0, want_carry=True,
+            s0=acc & 31)
+        # hand this tile's last-block width + running bit offset to the
+        # next grid step (the final tile's store is never consumed)
         carry_ref[0] = lastw
+        carry_ref[1] = acc + total
         words_ref[0, 0] = row
     else:
         vplanes = (natural_planes(frame_ref[0]) if natural
                    else [frame_ref[0, j].astype(_I32) for j in range(B)])
-        row, _ = _encode_body(spec, vplanes, ow_pad, cut=cut)
+        row, _, _ = _encode_body(spec, vplanes, ow_pad, cut=cut)
         words_ref[0] = row
 
 
@@ -693,7 +750,7 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, T, ow // 128, 128),
                                        jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             # T must stay sequential (the carry chains through it); F may
@@ -713,38 +770,50 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     if not merge:  # ablation only (tools/tpu_ablate_tiled.py)
         return (words, bits, jnp.max(maxw, axis=1), jnp.max(over, axis=1))
 
-    wfull, totals = _placement_merge(words, bits)
+    wfull, totals = _placement_merge(words, bits, phased=True)
     return (wfull, totals, jnp.max(maxw, axis=1),
             jnp.max(over, axis=1))
 
 
-def _placement_merge(words: jax.Array, bits: jax.Array):
+def _placement_merge(words: jax.Array, bits: jax.Array,
+                     phased: bool = False):
     """Concatenate T tile bitstrings in ONE pass over the data.
 
-    ``words``: (F, T, ow) uint32, tile t's stream in bits [0, bits[f,t]),
-    zero beyond. Tile t's absolute start offset is the exclusive prefix
-    sum of ``bits``; each stream is funnel-shifted to its sub-word phase
-    (off & 31), the one word each tile shares with its predecessor is
-    patched in (tile boundaries fall mid-word), and the shifted streams
-    are written at their word offsets (off >> 5) with an ascending
-    dynamic-update-slice chain — later placements overwrite only their
-    predecessor's zero padding plus the patched boundary word.
+    ``words``: (F, T, ow) uint32. Tile t's absolute start offset is the
+    exclusive prefix sum of ``bits``. With ``phased=False`` tile t's
+    stream sits at bits [0, bits[f,t]) of its buffer and is
+    funnel-shifted here to its sub-word phase (off & 31); with
+    ``phased=True`` the encode kernel already emitted every tile at its
+    global phase (the SMEM bit-offset chain), so the funnel pass over
+    the tile streams disappears. Either way, the one word each tile
+    shares with its predecessor is patched in (tile boundaries fall
+    mid-word), and the streams are written at their word offsets
+    (off >> 5) with an ascending dynamic-update-slice chain — later
+    placements overwrite only their predecessor's zero padding plus the
+    patched boundary word.
     """
     F, T, ow = words.shape
     csum = jnp.cumsum(bits, axis=1)
     offs = jnp.concatenate(
         [jnp.zeros((F, 1), jnp.int32), csum[:, :-1]], axis=1)
-    s = (offs & 31).astype(jnp.uint32)[:, :, None]
     k = offs >> 5                                           # (F, T)
-    wp = jnp.concatenate(
-        [words, jnp.zeros((F, T, 1), jnp.uint32)], axis=2)  # (F, T, ow+1)
-    prevw = jnp.roll(wp, 1, axis=2)
-    widx = jnp.arange(ow + 1)[None, None, :]
-    prevw = jnp.where(widx >= 1, prevw, jnp.uint32(0))
-    shifted = (wp << s) | ((prevw >> (jnp.uint32(31) - s)) >> jnp.uint32(1))
+    if phased:
+        shifted = words
+        widx = jnp.arange(ow)[None, None, :]
+    else:
+        s = (offs & 31).astype(jnp.uint32)[:, :, None]
+        wp = jnp.concatenate(
+            [words, jnp.zeros((F, T, 1), jnp.uint32)], axis=2)
+        prevw = jnp.roll(wp, 1, axis=2)
+        widx = jnp.arange(ow + 1)[None, None, :]
+        prevw = jnp.where(widx >= 1, prevw, jnp.uint32(0))
+        shifted = ((wp << s)
+                   | ((prevw >> (jnp.uint32(31) - s)) >> jnp.uint32(1)))
     if T > 1:
         # boundary patch: tile t's first word also holds the tail bits of
-        # tile t-1 — word (k[t] - k[t-1]) of t-1's shifted stream
+        # tile t-1 — word (k[t] - k[t-1]) of t-1's stream (in-bounds:
+        # every tile's stream ends >= 3 zeroed scalar-slot words before
+        # its buffer end, so d <= ow - 3)
         d = (k[:, 1:] - k[:, :-1])[..., None]               # (F, T-1, 1)
         miss = jnp.take_along_axis(shifted[:, :-1], d, axis=2)
         patch = jnp.concatenate(
@@ -755,7 +824,7 @@ def _placement_merge(words: jax.Array, bits: jax.Array):
     pad = 8  # DUS windows may run past the last tile's real end
 
     def place(tiles, ks):
-        out = jnp.zeros((out_words + ow + pad,), jnp.uint32)
+        out = jnp.zeros((out_words + tiles.shape[1] + pad,), jnp.uint32)
         for t in range(T):
             out = jax.lax.dynamic_update_slice(out, tiles[t], (ks[t],))
         return out
