@@ -1,18 +1,19 @@
 """Ablation of the tiled big-frame encode path: where do the ms go?
 
-Stages: prepass (the retired jnp prev-width chain, kept for comparison —
-the kernel now carries prev width across grid steps in SMEM), kernel
-(per-tile Pallas packs, checksum-consumed, no merge), FULL (packs +
-single-pass placement merge). RTT-corrected per the CLAUDE.md
-measurement rules. Round-2 finding recorded in BASELINE.md: the old
-ragged merge was 6.6 of 17 ms at 2048; the placement merge cut FULL to
-~5 ms for 8 frames.
+Stages: kernel (per-tile Pallas packs, no merge) and FULL (packs +
+single-pass placement merge; tiles leave the kernel at their global
+sub-word phase since round 4, so the merge is boundary patch + DUS
+only). SLOPE-timed (round-3 methodology, see tools/tpu_ablate_pallas.py)
+with a corner-scalar consume — full-array checksum reductions and
+strided slices are latency artifacts (see BASELINE.md round 4).
 
-Run: python tools/tpu_ablate_tiled.py [F] [side] [cap_ratio].
+Round-2 finding recorded in BASELINE.md: the old ragged merge was 6.6 of
+17 ms at 2048²; the placement merge cut FULL to ~5 ms for 8 frames.
+
+Run: python tools/tpu_ablate_tiled.py [F] [side] [cap_ratio|measured].
 """
 
 import os
-import statistics
 import sys
 import time
 
@@ -27,98 +28,78 @@ cache = os.path.expanduser("~/.cache/trpx_tpu/jax")
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from trpx_tpu.ops.coding import FrameSpec  # noqa: E402
+from trpx_tpu.ops.coding import FrameSpec, measured_spec  # noqa: E402
 from trpx_tpu.ops import pallas_pack as pp  # noqa: E402
+
+N1, N2 = 1, 5
 
 
 def main():
     F = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     side = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+    mode = sys.argv[3] if len(sys.argv) > 3 else "measured"
     n = side * side
-    spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=ratio)
+    spec = FrameSpec.for_dtype(
+        n, np.uint32,
+        cap_ratio=0.25 if mode == "measured" else float(mode))
     Tb = pp.TILE_BLOCKS
     T = -(-spec.nb // Tb)
     print(f"F={F} side={side} T={T} tiles of {Tb} blocks", file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
-    x = jax.random.poisson(key, 3.0, (F, n)).astype(jnp.uint32)
-    hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n))
-           < 0.02)  # overflow-heavy: 2% wide pixels
-    x = jnp.where(hot, jnp.uint32(1 << 19), x)
-    jax.block_until_ready(x)
+    def synth(seed):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.poisson(key, 3.0, (F, n)).astype(jnp.uint32)
+        hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n))
+               < 0.02)  # overflow-heavy: 2% wide pixels
+        return jnp.where(hot, jnp.uint32(2_000_000_000), x)
 
-    @jax.jit
-    def null(fr):
-        return jnp.uint32(fr[0, 0])
+    xs = [jax.block_until_ready(synth(s)) for s in range(N2)]
+    if mode == "measured":
+        spec = measured_spec(spec, xs[0])
+        print(f"sched {spec.pack_caps}", file=sys.stderr)
 
-    int(null(x))
-    rtt = statistics.median(
-        (lambda t0: (int(null(x)), time.perf_counter() - t0)[1])(
-            time.perf_counter())
-        for _ in range(7)
-    )
-    print(f"RTT {rtt * 1e3:.1f}ms", file=sys.stderr)
+    def tmin(fn, a, reps=7):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    variants = {}
-
-    @jax.jit
-    def prepass(fr):
-        frames = fr
-        total_blocks = T * Tb
-        if frames.shape[1] < total_blocks * spec.block:
-            pad = jnp.zeros(
-                (F, total_blocks * spec.block - frames.shape[1]),
-                frames.dtype)
-            frames = jnp.concatenate([frames, pad], axis=1)
-        lastv = frames.reshape(F, T, Tb, spec.block)[:, :, -1, :].astype(
-            jnp.int32)
-        mag = jax.lax.bitcast_convert_type(lastv, jnp.uint32)
-        setb = jnp.bitwise_or.reduce(mag, axis=2)
-        nz = setb != 0
-        wlast = jnp.where(nz, 32 - jax.lax.clz(setb).astype(jnp.int32), 0)
-        prev0 = jnp.concatenate(
-            [jnp.zeros((F, 1), jnp.int32), wlast[:, :-1]], axis=1)
-        return jnp.sum(prev0)
-
-    variants["prepass"] = prepass
-
-    @jax.jit
-    def kernel_only(fr):
-        words, bits, maxw, over = pp.encode_batch_pallas_tiled(
-            spec, fr, merge=False)
-        return (jnp.sum(jax.lax.bitcast_convert_type(words, jnp.int32))
-                + jnp.sum(bits))
-
-    variants["kernel"] = kernel_only
-
-    @jax.jit
-    def full(fr):
-        words, bits, maxw, over = pp.encode_batch_pallas_tiled(spec, fr)
-        return (jnp.sum(jax.lax.bitcast_convert_type(words, jnp.int32))
-                + jnp.sum(bits))
-
-    variants["FULL"] = full
+    def slope(mk):
+        f1, f2 = mk(N1), mk(N2)
+        int(f1(*xs[:N1]))
+        int(f2(*xs))
+        return max((tmin(f2, xs) - tmin(f1, xs[:N1])) / (N2 - N1), 1e-9)
 
     rows = []
     prev = 0.0
-    for name, fn in variants.items():
-        int(fn(x))  # compile + warm
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            int(fn(x))
-            ts.append(time.perf_counter() - t0)
-        ms = (statistics.median(ts) - rtt) * 1e3
-        fps = F / (ms / 1e3) if ms > 0 else float("inf")
-        rows.append((name, ms, ms - prev, fps))
-        print(f"{name:<12} {ms:7.2f} ms  (+{ms - prev:.2f})  {fps:,.1f} fps")
+    for name, merge in (("kernel", False), ("FULL", True)):
+
+        def mk(chain, merge=merge):
+            @jax.jit
+            def step(*a):
+                chk = jnp.uint32(0)
+                for i in range(chain):
+                    w, b, m, o = pp.encode_batch_pallas_tiled(
+                        spec, a[i], merge=merge)
+                    chk = (chk + jnp.uint32(b.sum())
+                           + w.reshape(-1)[0] + jnp.uint32(o.sum()))
+                return chk
+            return step
+
+        t = slope(mk)
+        ms = t * 1e3
+        gbs = F * n * 4 / t / 1e9
+        rows.append((name, ms, ms - prev, F / t, gbs))
+        print(f"{name:<8} {ms:8.2f} ms  (+{ms - prev:.2f})  "
+              f"{F / t:8,.1f} fps  {gbs:5.1f} GB/s", flush=True)
         prev = ms
 
-    print("| stage | cumulative ms | delta ms | fps |")
-    print("|---|---|---|---|")
-    for name, ms, d, fps in rows:
-        print(f"| {name} | {ms:.2f} | {d:+.2f} | {fps:,.1f} |")
+    print("| stage | cumulative ms | delta ms | fps | GB/s |")
+    print("|---|---|---|---|---|")
+    for name, ms, d, fps, gbs in rows:
+        print(f"| {name} | {ms:.2f} | {d:+.2f} | {fps:,.1f} | {gbs:.1f} |")
 
 
 if __name__ == "__main__":
