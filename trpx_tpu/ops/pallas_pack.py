@@ -577,11 +577,11 @@ def _roll3_up_nz(x, step: int):
 
 
 def _roll3_down_nz(x, step: int):
-    """Inverse of _roll3_up_nz: cyclic word rotation toward lower
-    indices (mod S*128). The wrap zone [S*128 - total_k, S*128) of the
-    composed rotation is handled by decode's callers with ONE select
-    after the child truncation — or not at all when the truncation
-    provably excludes it."""
+    """Inverse of _roll3_up_nz without wrap masks — valid when the
+    caller proves the wrapped-in zone [size - total_shift, size) is
+    never consumed (decode drops masks only on levels where
+    C >= Cc + la_w_max + 2, so the child truncation [:Sc] excludes the
+    zone)."""
     M, S, L = x.shape
     if step >= S * L:
         return jnp.zeros_like(x)
@@ -591,6 +591,28 @@ def _roll3_down_nz(x, step: int):
     b = jnp.roll(a, -1, axis=1)
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     return jnp.where(lane < L - step, a, b)
+
+
+def _roll3_down(x, step: int):
+    """Masked down-shift toward lower word indices (non-cyclic: the
+    wrap zone is zeroed per pass). Decode's split lifts use this on
+    levels where the wrap zone could intrude into the child truncation;
+    the round-4 end-mask alternative (always-nz + one final select)
+    measured SLOWER — the per-pass masks fuse into the roll selects."""
+    M, S, L = x.shape
+    if step >= S * L:
+        return jnp.zeros_like(x)
+    if step % L == 0:
+        k = step // L
+        rolled = jnp.roll(x, -k, axis=1)
+        sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+        return jnp.where(sub < S - k, rolled, _U32(0))
+    a = jnp.roll(x, -step, axis=2)
+    b = jnp.roll(a, -1, axis=1)
+    sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    bm = jnp.where(sub < S - 1, b, _U32(0))
+    return jnp.where(lane < L - step, a, bm)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))

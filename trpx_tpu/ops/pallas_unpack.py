@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coding import FrameSpec
 from .pack import row_capacity
-from .pallas_pack import _bcast3, _roll3_down_nz
+from .pallas_pack import _bcast3, _roll3_down, _roll3_down_nz
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -186,6 +186,13 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         lp = lp3[:, 0, :] + lp3[:, 1, :]
         Pn = M
 
+    def roll_down(x, step, axis):
+        if step >= x.shape[axis]:  # full shift-out: everything is zero
+            return jnp.zeros_like(x)
+        rolled = jnp.roll(x, -step, axis=axis)
+        idx = jax.lax.broadcasted_iota(_I32, x.shape, axis)
+        return jnp.where(idx < x.shape[axis] - step, rolled, _U32(0))
+
     def roll_down_nz(x, step, axis):
         # wrap-mask-free variant: only on levels where the wrap zone is
         # excluded by the child truncation (see the phase-2 note)
@@ -244,24 +251,23 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         # pltpu.roll dynamic shifts is a LOSS on hardware (10.75 ms vs
         # 8.3 ms per 256 frames) and mis-lowers vs interpret mode —
         # Mosaic's dynamic roll is no cheaper than the explicit lift.
-        # Round 4: the nz roll's lane-carry wraps, so the composed lift
-        # IS a cyclic rotation mod C — the whole wrap zone is exactly
-        # [C-k, C), maskable with ONE select after truncation instead of
-        # the per-pass masked _roll3_down (2 extra ops x passes); when
-        # the truncation [:Sc] provably excludes it, no mask at all.
+        # Wrap masks drop when the accumulated wrap zone [C-la_w, C)
+        # provably lands beyond the child truncation [:Sc].
+        # (Round 4 tried the encode-side cyclic trick here — always-nz
+        # rolls + ONE wrap mask after truncation — and it measured
+        # SLOWER, 4.39 -> 4.94 ms/256fr: the per-pass wrap masks fuse
+        # into the roll selects, while the end-mask's word-index iota
+        # chain is an extra unfused pass per level. Reverted.)
+        roll3 = (_roll3_down_nz if C >= Cc + la_w_max + 2
+                 else _roll3_down)
         k3 = (cut3 >> 5).astype(_U32)
         Bp = rows3
         step = 1
         while step <= la_w_max:
             bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
-            Bp = jnp.where(bit, _roll3_down_nz(Bp, step), Bp)
+            Bp = jnp.where(bit, roll3(Bp, step), Bp)
             step *= 2
         Bp = Bp[:, :Sc, :]
-        if C < Cc + la_w_max + 2:
-            sub_i = jax.lax.broadcasted_iota(_I32, (M, Sc, 128), 1)
-            lane_i = jax.lax.broadcasted_iota(_I32, (M, Sc, 128), 2)
-            kk = jax.lax.bitcast_convert_type(k3, _I32)[:, :Sc, :]
-            Bp = jnp.where(sub_i * 128 + lane_i + kk < C, Bp, _U32(0))
         rows3 = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
         ).reshape(2 * M, Sc, 128)
@@ -295,23 +301,19 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         A = state[:, :Cc, :]
         # B: phase-aligned word-only shift down by (pa + la) >> 5, keep
         # the first Cc words (lift bounded by the child's proven
-        # capacity / combinatorial max, as in phase 2 above). As in
-        # phase 2 (round 4): nz rolls compose to a cyclic rotation whose
-        # wrap zone [C-k, C) is masked with ONE select after truncation
-        # — or not at all when the truncation excludes it.
+        # capacity / combinatorial max, as in phase 2 above; per-pass
+        # wrap masks as there — the round-4 end-mask variant measured
+        # slower)
         la_w_max = min(Cc, ((child_blocks * mbb) >> 5) + 1)
+        rd = (roll_down_nz if C >= Cc + la_w_max + 2 else roll_down)
         k = (cutb[:, :1, :] >> 5).astype(_U32)
         Bp = state
         step = 1
         while step <= la_w_max:
             bit = ((k >> (step.bit_length() - 1)) & 1).astype(bool)
-            Bp = jnp.where(bit, roll_down_nz(Bp, step, 1), Bp)
+            Bp = jnp.where(bit, rd(Bp, step, 1), Bp)
             step *= 2
         Bp = Bp[:, :Cc, :]
-        if C < Cc + la_w_max + 2:
-            widx = jax.lax.broadcasted_iota(_I32, (M, Cc, L), 1)
-            kk = jax.lax.bitcast_convert_type(k, _I32)  # (M, 1, L)
-            Bp = jnp.where(widx + kk < C, Bp, _U32(0))
         state = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
         ).reshape(2 * M, Cc, L)
