@@ -4,20 +4,31 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``value`` is the 512×512 uint16 ENCODE rate (the headline metric,
 vs_baseline relative to the reference's measured 1712 frames/s on one
 Xeon core — BASELINE.md); the same object carries the decode rate and
-the 2048×2048 uint32 overflow-heavy config (BASELINE config 3) so the
+the 2048²/4096² uint32 overflow-heavy configs (BASELINE config 3) so the
 driver's BENCH_r*.json records the full judged metric set.
 
-Methodology: frames are synthesized ON DEVICE (Poisson background + hot
-pixels, the BASELINE.md workload, ~0.21 compression ratio) so the
-measurement isolates the codec kernels from host↔device transfer (the
-dev box reaches the TPU through a network tunnel; a production host
-feeds local HBM). Because the tunnel's ``block_until_ready`` is not a
-reliable barrier, each rep materializes a scalar checksum of the
-outputs (forcing a device round trip) and the measured round-trip
-latency of a null op is subtracted; the median of several reps is
-reported. Decode timing covers the device unpack kernels; the serial
-host header walk is timed separately (``walk_*`` keys) — production
-pipelines overlap it with device work (runtime/stream.iter_decode).
+Methodology (round 4): SLOPE timing, the same estimator as the ablation
+tools. Chains of N1/N2 kernel calls over DISTINCT device-resident
+batches inside one jit (distinct inputs defeat XLA CSE); the chain-length
+slope (t[N2] - t[N1]) / (N2 - N1) cancels every constant offset — tunnel
+RTT, dispatch, scalar fetch — exactly. The previous subtract-null-op-RTT
+method was retired this round after it over-read the same binary by +30%
+and +60% in two back-to-back runs (min(step) - min(null) assumes the
+null op and the step share a fixed cost; under the tunnel's 2026-08-20
+regime the null op measured ~4.5 ms MORE fixed cost than the step, so
+the subtraction manufactured throughput). Slope agrees with the
+per-stage ablation sums and is stable ±3-5% run to run (BASELINE.md).
+
+Frames are synthesized ON DEVICE (Poisson background + hot pixels, the
+BASELINE.md workload, ~0.21 compression ratio) so the measurement
+isolates the codec kernels from host↔device transfer (the dev box
+reaches the TPU through a ~100 MB/s network tunnel; a production host
+feeds local HBM). Decode timing covers the device unpack kernels with
+tables staged; the serial host header walk is timed separately
+(``host_walk_frames_per_s``), and ``foreign_decode_*`` keys report the
+honest first-contact rate (serial walk + prepass + device unpack, no
+overlap assumed — runtime/stream.iter_decode pipelines them, and the
+CLI's sidecar-by-default makes every later decode walk-free).
 
 Run on real hardware: ``python bench.py [n_frames] [reps]``.
 """
@@ -45,34 +56,23 @@ HBM_GBS = {
 }
 
 
-def _rtt_timer(null_fn, reps):
-    """Tunnel-robust timer: the RTT drifts by 10+ ms over a bench run
-    (observed 26 -> 44 ms between sections, which once pushed a
-    median-RTT correction past the measured step time and clamped the
-    result to nonsense). Each ``measure`` therefore interleaves null-op
-    and step samples in the SAME window and subtracts min(null) from
-    min(step): with strictly additive queueing noise, min-of-N is the
-    noise-floor estimator, and interleaving keeps both mins under the
-    same drift regime."""
-    rtt0 = min(
-        (lambda t0: (null_fn(), time.perf_counter() - t0)[1])(
-            time.perf_counter()
-        )
-        for _ in range(reps)
-    )
+def _slope(mk, args1, args2, n1, n2, reps):
+    """Per-call seconds from the chain-length slope (min-of-reps)."""
+    f1, f2 = mk(n1), mk(n2)
+    int(f1(*args1))  # compile + warm
+    int(f2(*args2))
 
-    def measure(step_fn):
-        ts, nulls = [], []
+    def tmin(fn, a):
+        ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            null_fn()
-            nulls.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            step_fn()
+            int(fn(*a))
             ts.append(time.perf_counter() - t0)
-        return max(min(ts) - min(nulls), 1e-9), ts
+        return min(ts), ts
 
-    return rtt0, measure
+    t1, _ = tmin(f1, args1)
+    t2, ts2 = tmin(f2, args2)
+    return max((t2 - t1) / (n2 - n1), 1e-9), ts2
 
 
 def _synth(jax, jnp, spec, F, hot_val, seed=0):
@@ -99,30 +99,29 @@ def _synth(jax, jnp, spec, F, hot_val, seed=0):
     step = min(F, 256)
     parts = []
     for i in range(0, F, step):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed + 977 * F), i)
         parts.append(chunk(key, min(step, F - i)))
     x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return jax.block_until_ready(x)
 
 
-def bench_512(jax, jnp, F, reps):
+def bench_512(jax, jnp, F, reps, n1=1, n2=9):
     """512×512 u16: Pallas VMEM encode + split-tree decode."""
     from trpx_tpu.ops.coding import (
         FrameSpec,
         assemble_archive,
-        encode_batch_device,
         walk_archive,
     )
 
     n = 512 * 512
     spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.25)
-    x = _synth(jax, jnp, spec, F, 60000)
+    xs = [_synth(jax, jnp, spec, F, 60000, seed=s) for s in range(n2)]
     try:
         # measured per-level capacity schedule (production default):
         # the merge tree carries no slack this batch doesn't need
         from trpx_tpu.ops.coding import measured_spec
 
-        spec = measured_spec(spec, x)
+        spec = measured_spec(spec, xs[0])
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"measured schedule unavailable ({e})", file=sys.stderr)
 
@@ -131,32 +130,32 @@ def bench_512(jax, jnp, F, reps):
         from trpx_tpu.ops.pallas_pack import encode_batch_pallas
 
         enc = lambda fr: encode_batch_pallas(spec, fr)
-        _, _, _, over0 = jax.device_get(enc(x))
+        _, _, _, over0 = jax.device_get(enc(xs[0]))
         assert not bool(np.any(over0)), "soft capacity overflowed"
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
               "falling back to jnp tree", file=sys.stderr)
         kernel_name = "jnp-tree"
-        x = x[:, : spec.n_padded]
+        from trpx_tpu.ops.coding import encode_batch_device
+
+        xs = [x[:, : spec.n_padded] for x in xs]
         enc = lambda fr: encode_batch_device(spec, fr)
 
-    @jax.jit
-    def enc_sum(fr):
-        words, bits, maxw, over = enc(fr)
-        return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
-                + jnp.uint32(over.sum()))
+    def mk_enc(chain):
+        @jax.jit
+        def step(*a):
+            chk = jnp.uint32(0)
+            for i in range(chain):
+                words, bits, maxw, over = enc(a[i])
+                chk = (chk + jnp.uint32(bits.sum()) + words[0, 0]
+                       + words[-1, -1] + jnp.uint32(over.sum()))
+            return chk
+        return step
 
-    @jax.jit
-    def null(fr):
-        return jnp.uint32(fr[0, 0])
-
-    int(null(x))
-    int(enc_sum(x))
-    rtt, measure = _rtt_timer(lambda: int(null(x)), reps)
-    t_enc, ts_enc = measure(lambda: int(enc_sum(x)))
+    t_enc, ts_enc = _slope(mk_enc, xs[:n1], xs, n1, n2, reps)
 
     # ---- decode: archive -> walk (host, timed separately) -> device ----
-    words, bits, maxw, _ = jax.device_get(enc(x))
+    words, bits, maxw, _ = jax.device_get(enc(xs[0]))
     arch = assemble_archive(spec, words, bits, maxw)
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
     # median of reps: the walk shares the 4 host cores with the JAX
@@ -164,7 +163,7 @@ def bench_512(jax, jnp, F, reps):
     # of contention (observed 10x outliers on driver runs).
     # Each rep walks a FRESH index-free archive view: this times true
     # first contact (the serial foreign-archive walk) — the encoder
-    # archive carries frame_index (parallel walk), and walk_archive now
+    # archive carries frame_index (parallel walk), and walk_archive
     # caches its tables on the archive (walk-free repeats).
     walk_ts = []
     for _ in range(max(3, min(reps, 5))):
@@ -176,6 +175,7 @@ def bench_512(jax, jnp, F, reps):
     walk_s = statistics.median(walk_ts)  # serial walk + gather, no sidecar
 
     dec_name = "jnp-tree"
+    use_pallas_dec = True
     try:
         from trpx_tpu.ops.pallas_unpack import (
             choose_schedule,
@@ -183,34 +183,54 @@ def bench_512(jax, jnp, F, reps):
         )
 
         ratio = choose_schedule(spec, widths)
-        # uint8 width tables (widths <= 73): 1/4 the H2D traffic
-        wb, wd = jnp.asarray(wbuf), jnp.asarray(widths.astype(np.uint8))
-
-        # consume TWO corners only: the pallas_call materializes its full
-        # output regardless, and a strided checksum slice (o[:, ::4096])
-        # measured ~0.7-1.4 ms of pure latency-bound DMA gather per rep —
-        # an instrumentation artifact that deflated every round-3 decode
-        # number by ~20%
-        @jax.jit
-        def dec_sum(wb, wd):
-            o = decode_batch_pallas(spec, wb, wd, False, ratio)
-            return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
-
         dec_name = f"pallas-split r{ratio}"
     except Exception:
+        use_pallas_dec = False
         from trpx_tpu.ops.coding import decode_batch_device
 
-        wb, wd = jnp.asarray(wbuf), jnp.asarray(widths)
+    # decode args for every chained batch (distinct inputs defeat CSE);
+    # uint8 width tables (widths <= 73): 1/4 the H2D traffic
+    wbs, wds = [], []
+    for s in range(n2):
+        if s == 0:
+            w, b, m = words, bits, maxw
+        else:
+            w, b, m, _ = jax.device_get(enc(xs[s]))
+        a = assemble_archive(spec, w, b, m)
+        wd, _p, wb = walk_archive(a, spec)
+        wbs.append(wb)
+        wds.append(wd.astype(np.uint8))
+    Wmax = max(w.shape[1] for w in wbs)
+    dargs = []
+    for w, d in zip(wbs, wds):
+        dargs.append(jax.block_until_ready(jnp.asarray(
+            np.pad(w, ((0, 0), (0, Wmax - w.shape[1]))))))
+        dargs.append(jax.block_until_ready(jnp.asarray(d)))
 
+    # consume TWO corners only: the pallas_call materializes its full
+    # output regardless, and a strided checksum slice (o[:, ::4096])
+    # measured ~0.7-1.4 ms of pure latency-bound DMA gather per rep —
+    # an instrumentation artifact that deflated every round-3 decode
+    # number by ~20%
+    def mk_dec(chain):
         @jax.jit
-        def dec_sum(wb, wd):
-            o = decode_batch_device(spec, wb, wd, None)
-            return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+        def step(*a):
+            chk = jnp.uint32(0)
+            for i in range(chain):
+                if use_pallas_dec:
+                    o = decode_batch_pallas(spec, a[2 * i], a[2 * i + 1],
+                                            False, ratio)
+                else:
+                    o = decode_batch_device(spec, a[2 * i],
+                                            a[2 * i + 1].astype(jnp.int32),
+                                            None)
+                chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+            return chk
+        return step
 
-    int(dec_sum(wb, wd))
-    t_dec, ts_dec = measure(lambda: int(dec_sum(wb, wd)))
+    t_dec, ts_dec = _slope(mk_dec, dargs[: 2 * n1], dargs, n1, n2, reps)
     return dict(
-        kernel=kernel_name, dec_kernel=dec_name, rtt=rtt,
+        kernel=kernel_name, dec_kernel=dec_name,
         enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * arch.meta.number_of_values * 2 / t_enc / 1e9,
         dec_gbs=F * arch.meta.number_of_values * 2 / t_dec / 1e9,
@@ -225,10 +245,9 @@ def bench_512(jax, jnp, F, reps):
     )
 
 
-def bench_big(jax, jnp, reps, edge=2048, F=32):
+def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
     """edge×edge u32 overflow-heavy (BASELINE config 3 covers 2K and 4K):
-    tiled kernels. F must keep >= 20 ms of device work behind the RTT
-    (see main)."""
+    tiled kernels, slope-timed like bench_512."""
     from trpx_tpu.ops.coding import FrameSpec, assemble_archive, walk_archive
     from trpx_tpu.ops.pallas_pack import encode_batch_pallas_tiled
     from trpx_tpu.ops.pallas_unpack import (
@@ -238,32 +257,32 @@ def bench_big(jax, jnp, reps, edge=2048, F=32):
 
     n = edge * edge
     spec = FrameSpec.for_dtype(n, np.uint32, cap_ratio=0.25)
-    x = _synth(jax, jnp, spec, F, 2_000_000_000, seed=2)
+    xs = [_synth(jax, jnp, spec, F, 2_000_000_000, seed=2 + s)
+          for s in range(n2)]
     try:
         from trpx_tpu.ops.coding import measured_spec
 
-        spec = measured_spec(spec, x)
+        spec = measured_spec(spec, xs[0])
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"measured schedule unavailable ({e})", file=sys.stderr)
 
-    @jax.jit
-    def enc_sum(fr):
-        words, bits, maxw, over = encode_batch_pallas_tiled(spec, fr)
-        return (jnp.uint32(bits.sum()) + words[0, 0] + words[-1, -1]
-                + jnp.uint32(over.sum()))
-
-    @jax.jit
-    def null(fr):
-        return jnp.uint32(fr[0, 0])
-
-    int(null(x))
     words, bits, maxw, over = jax.device_get(
-        jax.jit(lambda fr: encode_batch_pallas_tiled(spec, fr))(x)
+        jax.jit(lambda fr: encode_batch_pallas_tiled(spec, fr))(xs[0])
     )
     assert not bool(np.any(over)), f"{edge} soft capacity overflowed"
-    int(enc_sum(x))
-    rtt, measure = _rtt_timer(lambda: int(null(x)), reps)
-    t_enc, ts_enc = measure(lambda: int(enc_sum(x)))
+
+    def mk_enc(chain):
+        @jax.jit
+        def step(*a):
+            chk = jnp.uint32(0)
+            for i in range(chain):
+                w, b, m, o = encode_batch_pallas_tiled(spec, a[i])
+                chk = (chk + jnp.uint32(b.sum()) + w[0, 0] + w[-1, -1]
+                       + jnp.uint32(o.sum()))
+            return chk
+        return step
+
+    t_enc, ts_enc = _slope(mk_enc, xs[:n1], xs, n1, n2, reps)
 
     arch = assemble_archive(spec, words, bits, maxw)
     walk_archive(arch, spec)  # cold call: native lib load + payload copy
@@ -281,20 +300,38 @@ def bench_big(jax, jnp, reps, edge=2048, F=32):
     t0 = time.perf_counter()
     words_t, shift, prev0, ratio = tile_prepass(spec, widths, wbuf)
     prep_s = time.perf_counter() - t0
-    wt, wd = jnp.asarray(words_t), jnp.asarray(widths)
-    sh, pv = jnp.asarray(shift), jnp.asarray(prev0)
 
-    # two-corner consume (see bench_512's dec_sum): the strided checksum
+    dargs = []
+    for s in range(n2):
+        if s == 0:
+            wt, sh, pv, wd = words_t, shift, prev0, widths
+        else:
+            w, b, m, _ = jax.device_get(
+                jax.jit(lambda fr: encode_batch_pallas_tiled(spec, fr))(
+                    xs[s]))
+            a = assemble_archive(spec, w, b, m)
+            wd, _p, wb = walk_archive(a, spec)
+            wt, sh, pv, _r = tile_prepass(spec, wd, wb)
+        for v in (wt, wd, sh, pv):
+            dargs.append(jax.block_until_ready(jnp.asarray(v)))
+
+    # two-corner consume (see bench_512's dec path): the strided checksum
     # was a latency-bound DMA artifact in the measurement
-    @jax.jit
-    def dec_sum(wt, wd, sh, pv):
-        o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv, False, ratio)
-        return jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+    def mk_dec(chain):
+        @jax.jit
+        def step(*a):
+            chk = jnp.uint32(0)
+            for i in range(chain):
+                wt, wd, sh, pv = a[4 * i: 4 * i + 4]
+                o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv,
+                                              False, ratio)
+                chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+            return chk
+        return step
 
-    int(dec_sum(wt, wd, sh, pv))
-    t_dec, ts_dec = measure(lambda: int(dec_sum(wt, wd, sh, pv)))
+    t_dec, ts_dec = _slope(mk_dec, dargs[: 4 * n1], dargs, n1, n2, reps)
     return dict(
-        rtt=rtt, enc_fps=F / t_enc, dec_fps=F / t_dec,
+        enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * n * 4 / t_enc / 1e9, dec_gbs=F * n * 4 / t_dec / 1e9,
         walk_fps=F / walk_s, dec_ratio=ratio,
         # first contact on a foreign archive: serial walk + tile prepass
@@ -345,10 +382,10 @@ def main() -> None:
     print(f"device: {dev.platform} {kind}", file=sys.stderr)
     sol = HBM_GBS.get(kind)
 
-    # batch must put >= 20 ms of device work behind the ~30 ms tunnel RTT,
-    # else the RTT subtraction's +-2 ms jitter dominates the measurement
-    # (256 frames at 43k fps = 6 ms -> +-30% run-to-run swing observed)
-    F = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    # slope chains need N2 distinct resident batches: 512 frames x 9
+    # batches (~3.6 GB of inputs) fits the 16 GB HBM with the chained
+    # program's intermediates; 1024 x 9 does not (measured OOM)
+    F = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 
     r5 = bench_512(jax, jnp, F, reps)
@@ -356,14 +393,14 @@ def main() -> None:
                if sol else "")
     print(
         f"[{r5['kernel']}] encode 512u16: {r5['enc_fps']:,.0f} frames/s "
-        f"({r5['enc_gbs']:.1f} GB/s raw in{sol_txt}); rtt {r5['rtt']*1e3:.1f}ms; "
-        f"rep ms {[round(v * 1e3, 1) for v in r5['ts_enc']]}",
+        f"({r5['enc_gbs']:.1f} GB/s raw in{sol_txt}); "
+        f"chain rep ms {[round(v * 1e3, 1) for v in r5['ts_enc']]}",
         file=sys.stderr,
     )
     print(
         f"[{r5['dec_kernel']}] decode 512u16: {r5['dec_fps']:,.0f} frames/s "
         f"({r5['dec_gbs']:.1f} GB/s raw out); host walk {r5['walk_fps']:,.0f} "
-        f"frames/s; rep ms {[round(v * 1e3, 1) for v in r5['ts_dec']]}",
+        f"frames/s; chain rep ms {[round(v * 1e3, 1) for v in r5['ts_dec']]}",
         file=sys.stderr,
     )
 
@@ -377,8 +414,8 @@ def main() -> None:
                 f"({rb['enc_gbs']:.1f} GB/s); decode: {rb['dec_fps']:,.1f} "
                 f"frames/s ({rb['dec_gbs']:.1f} GB/s, bucket {rb['dec_ratio']}); "
                 f"walk {rb['walk_fps']:,.1f} frames/s; "
-                f"enc ms {[round(v*1e3) for v in rb['ts_enc']]} "
-                f"dec ms {[round(v*1e3) for v in rb['ts_dec']]}",
+                f"enc chain ms {[round(v*1e3) for v in rb['ts_enc']]} "
+                f"dec chain ms {[round(v*1e3) for v in rb['ts_dec']]}",
                 file=sys.stderr,
             )
             extra_2k.update({
