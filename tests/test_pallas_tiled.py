@@ -55,39 +55,3 @@ def test_tiled_signed_int32(small_tiles):
     spec = FrameSpec.for_dtype(n, np.int32, cap_ratio=0.5)
     arch, _ = _run(frames, spec)
     assert arch.payload == pycodec.encode(list(frames)).payload
-
-
-def test_placement_merge_matches_numpy_bit_concat():
-    """_placement_merge (funnel shift + boundary patch + DUS chain) vs a
-    plain numpy bit concatenation over random ragged tile lengths,
-    including word-aligned boundaries (s == 0) and full tiles."""
-    rng = np.random.default_rng(3)
-    F, T, ow = 3, 5, 8
-    bits = rng.integers(1, ow * 32 - 31, size=(F, T)).astype(np.int32)
-    bits[0, 1] = 64          # exactly word-aligned boundary
-    bits[1, 2] = ow * 32 - 31  # max-length tile
-    words = np.zeros((F, T, ow), np.uint32)
-    for f in range(F):
-        for t in range(T):
-            nb = int(bits[f, t])
-            raw = rng.integers(0, 2, size=nb).astype(np.uint8)
-            for i, bit in enumerate(raw):
-                if bit:
-                    words[f, t, i // 32] |= np.uint32(1) << np.uint32(i % 32)
-
-    wfull, totals = jax.device_get(pallas_pack._placement_merge(
-        jax.numpy.asarray(words), jax.numpy.asarray(bits)))
-
-    for f in range(F):
-        stream = []
-        for t in range(T):
-            nb = int(bits[f, t])
-            flat = np.unpackbits(
-                words[f, t].view(np.uint8), bitorder="little")[:nb]
-            stream.append(flat)
-        ref = np.concatenate(stream)
-        assert int(totals[f]) == len(ref)
-        got = np.unpackbits(
-            np.asarray(wfull[f]).view(np.uint8),
-            bitorder="little")[: len(ref)]
-        np.testing.assert_array_equal(got, ref)

@@ -74,15 +74,16 @@ def main():
 
     rows = []
     prev = 0.0
-    for name, merge in (("kernel", False), ("FULL", True)):
+    # Since the round-4 in-kernel DMA placement there is no merge stage:
+    # FULL is the whole tiled encode (the old "kernel" cut equals it).
+    for name in ("FULL",):
 
-        def mk(chain, merge=merge):
+        def mk(chain):
             @jax.jit
             def step(*a):
                 chk = jnp.uint32(0)
                 for i in range(chain):
-                    w, b, m, o = pp.encode_batch_pallas_tiled(
-                        spec, a[i], merge=merge)
+                    w, b, m, o = pp.encode_batch_pallas_tiled(spec, a[i])
                     chk = (chk + jnp.uint32(b.sum())
                            + w.reshape(-1)[0] + jnp.uint32(o.sum()))
                 return chk

@@ -210,8 +210,9 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     total = jnp.max(lt)
 
     if cut is not None and cut < 0:  # plan only
-        return _cut_row(jnp.sum(width + hb + counts + phase)
-                        + jnp.sum(hv.astype(_I32)), ow_pad), lastw, total
+        return (_cut_row(jnp.sum(width + hb + counts + phase)
+                         + jnp.sum(hv.astype(_I32)), ow_pad), lastw, total,
+                _I32(0), _I32(0))
 
     wmask = jnp.where(
         width >= 32,
@@ -313,8 +314,9 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     # (rows leave staging already at their final sub-word phase;
     # row_capacity's +31-bit margin guarantees phase + length fits cap)
     if cut == 0:  # stage only (incl. the phase shift)
-        return _cut_row(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                        + jnp.sum(lengths), ow_pad), lastw, total
+        return (_cut_row(jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
+                         + jnp.sum(lengths), ow_pad), lastw, total,
+                _I32(0), _I32(0))
 
     overflow = jnp.zeros((), bool)
     C = cap
@@ -371,9 +373,10 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                 state = state[:, :c, :]
                 C = c
         if cut is not None and level >= cut:
-            return _cut_row(
+            return (_cut_row(
                 jnp.sum(jax.lax.bitcast_convert_type(state, _I32))
-                + jnp.sum(lengths), ow_pad), lastw, total
+                + jnp.sum(lengths), ow_pad), lastw, total,
+                _I32(0), _I32(0))
 
     # ---- transition: 128 lane-trees -> (L, S, 128) word grids -----------
     C128 = _round_up(C, 128)
@@ -446,9 +449,10 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                 state3 = state3[:, : c // 128, :]
                 C = c
         if cut is not None and level >= cut:
-            return _cut_row(
+            return (_cut_row(
                 jnp.sum(jax.lax.bitcast_convert_type(state3, _I32))
-                + jnp.sum(lp), ow_pad), lastw, total
+                + jnp.sum(lp), ow_pad), lastw, total,
+                _I32(0), _I32(0))
 
     # keep the (S, 128) word-grid layout all the way to the output
     # boundary: the old reshape to a (1, C) lane row was a full
@@ -462,34 +466,25 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     else:
         g = jnp.concatenate(
             [g, jnp.zeros((So - g.shape[0], 128), _U32)], axis=0)
-    # the per-frame scalars ride the last three word slots (the host
-    # never reads words beyond out_words <= ow_pad-3, so they're free;
-    # SMEM scalar outputs would write back (F,1) constant-index blocks
-    # every grid step — O(F^2) traffic)
-    sub_i = jax.lax.broadcasted_iota(_I32, (So, 128), 0)
-    lane_i = jax.lax.broadcasted_iota(_I32, (So, 128), 1)
-    wi = jax.lax.bitcast_convert_type(g, _I32)
-    tail = sub_i == So - 1
-    wi = jnp.where(tail & (lane_i == 125), lp[0, 0], wi)
-    wi = jnp.where(tail & (lane_i == 126), jnp.max(width), wi)
-    wi = jnp.where(tail & (lane_i == 127), overflow.astype(_I32), wi)
-    return jax.lax.bitcast_convert_type(wi, _U32), lastw, total
+    return g, lastw, total, jnp.max(width), overflow.astype(_I32)
 
 
-def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
-            n_total: int | None = None, cut: int | None = None,
-            natural: bool = False):
-    """One grid step: one frame (untiled) or one TILE of a big frame
-    (when ``carry_ref``/``n_total`` are provided, grid (F, T)).
+def _natural_planes(xi, R: int, B: int):
+    # input planes [j, r, l] = value j of block b = r + R*l from the
+    # frame's NATIVE flat layout: one in-VMEM 2-D transpose + middle-
+    # axis slices (the XLA-side (F,L,R,B)->(F,B,R,L) materialization
+    # this replaces cost ~40% of encode wall time, measured round 2).
+    # Widen BEFORE transposing: a u16-native transpose is half the
+    # VMEM traffic on paper but lowers worse (measured +0.24 ms FULL,
+    # round 3); i32 transposes are Mosaic's best-supported relayout.
+    xt = xi.astype(_I32).T                              # (R*B, L)
+    x3 = xt.reshape(R, B, xt.shape[1])
+    return [x3[:, j, :] for j in range(B)]
 
-    ``carry_ref`` is a (2,) SMEM scratch chained across the sequential T
-    grid steps: slot 0 carries the previous tile's last block width (the
-    repeat-coding chain crosses tile boundaries, Terse.hpp:517-535),
-    slot 1 the accumulated bit count of all previous tiles (whose low 5
-    bits are this tile's GLOBAL sub-word phase — folded into the block
-    phases so the host placement merge needs no funnel pass). At t == 0
-    the chain resets, so the carry never leaks between frames even when
-    a Megacore splits the F axis.
+
+def _kernel(spec: FrameSpec, frame_ref, words_ref,
+            cut: int | None = None, natural: bool = False):
+    """One grid step: one whole frame (untiled path, grid (F,)).
 
     (A multi-frame-per-step variant — fori_loop over a grouped block with
     dynamic leading-dim ref indexing — was measured round 3 at +-1% of
@@ -500,42 +495,24 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref, carry_ref=None,
     L = min(128, P)
     R = P // L
     ow_pad = words_ref.shape[-2] * words_ref.shape[-1]  # (S, 128) grid
-    tiled = carry_ref is not None
 
-    def natural_planes(xi):
-        # input planes [j, r, l] = value j of block b = r + R*l from the
-        # frame's NATIVE flat layout: one in-VMEM 2-D transpose + middle-
-        # axis slices (the XLA-side (F,L,R,B)->(F,B,R,L) materialization
-        # this replaces cost ~40% of encode wall time, measured round 2).
-        # Widen BEFORE transposing: a u16-native transpose is half the
-        # VMEM traffic on paper but lowers worse (measured +0.24 ms FULL,
-        # round 3); i32 transposes are Mosaic's best-supported relayout.
-        xt = xi.astype(_I32).T                              # (R*B, L)
-        x3 = xt.reshape(R, B, L)
-        return [x3[:, j, :] for j in range(B)]
-
-    if tiled:
-        t = pl.program_id(1)
-        prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
-        acc = jnp.where(t == 0, _I32(0), carry_ref[1])
-        if natural:
-            vplanes = natural_planes(frame_ref[0, 0])
-        else:
-            vplanes = [frame_ref[0, 0, j].astype(_I32) for j in range(B)]
-        row, lastw, total = _encode_body(
-            spec, vplanes, ow_pad, n_total=n_total, cut=cut,
-            block_offset=t * P, prev0=prev0, want_carry=True,
-            s0=acc & 31)
-        # hand this tile's last-block width + running bit offset to the
-        # next grid step (the final tile's store is never consumed)
-        carry_ref[0] = lastw
-        carry_ref[1] = acc + total
-        words_ref[0, 0] = row
-    else:
-        vplanes = (natural_planes(frame_ref[0]) if natural
-                   else [frame_ref[0, j].astype(_I32) for j in range(B)])
-        row, _, _ = _encode_body(spec, vplanes, ow_pad, cut=cut)
-        words_ref[0] = row
+    vplanes = (_natural_planes(frame_ref[0], R, B) if natural
+               else [frame_ref[0, j].astype(_I32) for j in range(B)])
+    row, _, total, maxw, over = _encode_body(spec, vplanes, ow_pad,
+                                             cut=cut)
+    # the per-frame scalars ride the last three word slots (the host
+    # never reads words beyond out_words <= ow_pad-3, so they're
+    # free; SMEM scalar outputs would write back (F,1) constant-
+    # index blocks every grid step — O(F^2) traffic)
+    So = row.shape[0]
+    sub_i = jax.lax.broadcasted_iota(_I32, (So, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(_I32, (So, 128), 1)
+    wi = jax.lax.bitcast_convert_type(row, _I32)
+    tail = sub_i == So - 1
+    wi = jnp.where(tail & (lane_i == 125), total, wi)
+    wi = jnp.where(tail & (lane_i == 126), maxw, wi)
+    wi = jnp.where(tail & (lane_i == 127), over, wi)
+    words_ref[0] = jax.lax.bitcast_convert_type(wi, _U32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -715,24 +692,127 @@ def encode(
 TILE_BLOCKS = 32768
 
 
+def _roll2_up(x, step: int):
+    """Cyclic word rotation toward higher indices on an (S, 128) grid
+    (word w = s*128 + l); the 2-D twin of _roll3_up_nz."""
+    S, L = x.shape
+    if step % L == 0:
+        return jnp.roll(x, step // L, axis=0)
+    a = jnp.roll(x, step, axis=1)
+    b = jnp.roll(a, 1, axis=0)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    return jnp.where(lane >= step, a, b)
+
+
+def _tiled_kernel(tspec: FrameSpec, n_total: int,
+                  frame_ref, stream_ref, scal_ref,
+                  carry_ref, vrow_ref, brow_ref, sem):
+    """One grid step of the tiled big-frame encode: pack ONE tile and
+    DMA it straight into the frame's output stream at its global word
+    offset — no host/jnp merge pass exists (the round-2 ragged merge
+    cost 6.6 of 17 ms at 2048²; the round-3/4 placement merge still
+    cost +2.4 ms of 6.35 at F=8 because a batched dynamic-offset
+    update lowers to scatter→serial while loops on TPU).
+
+    Placement: ``carry_ref`` (SMEM (2,)) chains the previous tile's last
+    block width (repeat coding crosses tiles, Terse.hpp:517-535) and the
+    accumulated bit count ``acc`` through the sequential T grid steps.
+    The tile packs at sub-word phase ``acc & 31``, is then rotated up by
+    ``w0 = (acc >> 5) & 127`` words (7 conditional cyclic passes), so
+    its buffer is exactly the global stream's content for the 128-word-
+    aligned window starting at row ``acc >> 12`` — which a single DMA
+    writes into ``stream_ref`` (whole-array HBM ref, dynamic sublane
+    offset). Tile boundaries fall mid-window: the next tile's window
+    overlaps this tile's last written row, so each step saves the row at
+    the NEXT tile's start (``brow_ref``, persistent VMEM (1, 128)) and
+    ORs the carried row into its own row 0 — by induction every window
+    holds the true stream up to its tile's end, and later windows
+    overwrite earlier ones only with identical-or-fuller content.
+    At t == 0 the chain resets, so nothing leaks between frames even
+    when a Megacore splits the (parallel) F axis.
+
+    Per-tile scalars (bit count, max width, overflow flag) leave through
+    ``scal_ref`` lanes 0-2 instead of riding the stream tail."""
+    B = tspec.block
+    P = tspec.tree_rows
+    L = min(128, P)
+    R = P // L
+    S = vrow_ref.shape[0]
+    t = pl.program_id(1)
+    f = pl.program_id(0)
+    prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
+    acc = jnp.where(t == 0, _I32(0), carry_ref[1])
+
+    vplanes = _natural_planes(frame_ref[0, 0], R, B)
+    row, lastw, total, maxw, over = _encode_body(
+        tspec, vplanes, S * 128, n_total=n_total,
+        block_offset=t * P, prev0=prev0, want_carry=True,
+        s0=acc & 31)
+
+    # rotate up to the window phase: content moves to words [w0, w0+occ)
+    # (occ + 127 <= S*128 by the +1024-word headroom, so the wrap zone
+    # only ever carries zeros — beyond-occupancy state is zero by the
+    # encode invariant)
+    w0 = (acc >> 5) & 127
+    step = 1
+    j = 0
+    while step < 128:
+        bit = ((w0 >> j) & 1) != 0
+        row = jnp.where(bit, _roll2_up(row, step), row)
+        step *= 2
+        j += 1
+    # OR the carried boundary row (the previous tile's content for this
+    # window's first 128 words) into row 0
+    sub_i = jax.lax.broadcasted_iota(_I32, (S, 128), 0)
+    bv = jnp.broadcast_to(brow_ref[0:1, :], (S, 128))
+    row = jnp.where((t > 0) & (sub_i == 0), row | bv, row)
+    # save the row at the NEXT tile's window start for its boundary OR
+    # (rb < S: a tile stream spans > 128 words, and occ + w0 fits S*128)
+    accn = acc + total
+    rb = (accn >> 12) - (acc >> 12)
+    # masked single-row extraction via i32 sum (Mosaic has no unsigned
+    # reductions, and an i32 max would mis-order values >= 2^31; the sum
+    # is exact — exactly one row survives the mask)
+    ri = jax.lax.bitcast_convert_type(row, _I32)
+    brow_ref[0:1, :] = jax.lax.bitcast_convert_type(
+        jnp.sum(jnp.where(sub_i == rb, ri, _I32(0)), axis=0,
+                keepdims=True), _U32)
+
+    vrow_ref[...] = row
+    carry_ref[0] = lastw
+    carry_ref[1] = accn
+    cp = pltpu.make_async_copy(
+        vrow_ref, stream_ref.at[f, pl.ds(acc >> 12, S), :], sem)
+    cp.start()
+    cp.wait()
+
+    lane_i = jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+    sub8 = jax.lax.broadcasted_iota(_I32, (8, 128), 0)
+    s = jnp.where((sub8 == 0) & (lane_i == 0), total, _I32(0))
+    s = jnp.where((sub8 == 0) & (lane_i == 1), maxw, s)
+    s = jnp.where((sub8 == 0) & (lane_i == 2), over, s)
+    scal_ref[0, 0] = s
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
                               interpret: bool = False,
                               merge: bool = True):
-    """Big-frame encode: per-tile Pallas VMEM packs + a small jnp merge.
+    """Big-frame encode: per-tile Pallas VMEM packs, placed into the
+    final stream by in-kernel DMA (see _tiled_kernel) — one write pass
+    over the output, no merge stage anywhere.
 
     Frames whose whole merge tree exceeds VMEM (2K/4K detectors) split
-    into tiles of TILE_BLOCKS blocks. Each tile packs in VMEM on its own
-    grid step; the repeat-coding state crosses tiles via a (1,) SMEM
-    scratch carried across the sequential T grid steps. The tile streams
-    then concatenate with a single-pass PLACEMENT merge: per-tile funnel
-    shift to the sub-word phase, one boundary-word patch, and an
-    ascending dynamic-update-slice chain — O(total words) traffic,
-    replacing the O(levels) ragged merge that dominated the 2K profile
-    (6.6 of 17 ms measured round 2, tools/tpu_ablate_tiled.py).
+    into tiles of TILE_BLOCKS blocks; each tile packs in VMEM on its own
+    grid step and lands at its global word offset directly.
 
-    Same contract as encode_batch_pallas: (words, bits, maxw, over).
+    Same contract as encode_batch_pallas: (words, bits, maxw, over) —
+    ``words`` is (F, Wout) with each frame's stream at word 0; words
+    beyond a frame's ``1 + bits // 8`` bytes are UNSPECIFIED (the DMA
+    windows cover exactly the occupied region plus in-window zero
+    padding). ``merge`` is accepted for compatibility and ignored.
     """
+    del merge
     F = frames.shape[0]
     B = spec.block
     Tb = TILE_BLOCKS
@@ -756,23 +836,36 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     R = Tb // L
     x = frames.reshape(F, T, L, R * B)  # natural layout (free reshape)
 
-    # +3 scalar tail slots; 1024-aligned for whole-tile output grids
-    ow = _round_up(tspec.out_words + 3, 1024)
-    kernel = functools.partial(_kernel, tspec, n_total=spec.n,
-                               natural=True)
-    words = pl.pallas_call(
-        lambda fr, w, carry: kernel(fr, w, carry_ref=carry),
+    # tile window: worst-case tile stream + 127 words of rotation phase,
+    # rounded so the (S, 128) grid sits on whole (8, 128) tiles
+    ow = _round_up(tspec.out_words, 1024) + 1024
+    S = ow // 128
+    # output rows: the last tile's window must fit behind the worst-case
+    # total stream
+    Sout = _round_up(spec.out_words, 128) // 128 + S + 8
+    kernel = functools.partial(_tiled_kernel, tspec, spec.n)
+    stream, scal = pl.pallas_call(
+        kernel,
         grid=(F, T),
         in_specs=[
             pl.BlockSpec((1, 1, L, R * B), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ow // 128, 128),
-                               lambda f, t: (f, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, T, ow // 128, 128),
-                                       jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 8, 128), lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F, Sout, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((F, T, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.uint32),
+            pltpu.VMEM((1, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             # T must stay sequential (the carry chains through it); F may
@@ -781,75 +874,9 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
         ),
         interpret=interpret,
     )(x)
-    words = words.reshape(F, T, ow)
-    wi = jax.lax.bitcast_convert_type(words, jnp.int32)
-    bits = wi[:, :, ow - 3]
-    maxw = wi[:, :, ow - 2]
-    over = wi[:, :, ow - 1]
-    # zero the scalar tail lanes before the tile-stream merge
-    lane_i = jnp.arange(ow)[None, None, :]
-    words = jnp.where(lane_i < ow - 3, words, jnp.uint32(0))
-    if not merge:  # ablation only (tools/tpu_ablate_tiled.py)
-        return (words, bits, jnp.max(maxw, axis=1), jnp.max(over, axis=1))
-
-    wfull, totals = _placement_merge(words, bits, phased=True)
-    return (wfull, totals, jnp.max(maxw, axis=1),
+    words = stream.reshape(F, Sout * 128)
+    bits = scal[:, :, 0, 0]                                 # (F, T)
+    maxw = scal[:, :, 0, 1]
+    over = scal[:, :, 0, 2]
+    return (words, jnp.sum(bits, axis=1), jnp.max(maxw, axis=1),
             jnp.max(over, axis=1))
-
-
-def _placement_merge(words: jax.Array, bits: jax.Array,
-                     phased: bool = False):
-    """Concatenate T tile bitstrings in ONE pass over the data.
-
-    ``words``: (F, T, ow) uint32. Tile t's absolute start offset is the
-    exclusive prefix sum of ``bits``. With ``phased=False`` tile t's
-    stream sits at bits [0, bits[f,t]) of its buffer and is
-    funnel-shifted here to its sub-word phase (off & 31); with
-    ``phased=True`` the encode kernel already emitted every tile at its
-    global phase (the SMEM bit-offset chain), so the funnel pass over
-    the tile streams disappears. Either way, the one word each tile
-    shares with its predecessor is patched in (tile boundaries fall
-    mid-word), and the streams are written at their word offsets
-    (off >> 5) with an ascending dynamic-update-slice chain — later
-    placements overwrite only their predecessor's zero padding plus the
-    patched boundary word.
-    """
-    F, T, ow = words.shape
-    csum = jnp.cumsum(bits, axis=1)
-    offs = jnp.concatenate(
-        [jnp.zeros((F, 1), jnp.int32), csum[:, :-1]], axis=1)
-    k = offs >> 5                                           # (F, T)
-    if phased:
-        shifted = words
-        widx = jnp.arange(ow)[None, None, :]
-    else:
-        s = (offs & 31).astype(jnp.uint32)[:, :, None]
-        wp = jnp.concatenate(
-            [words, jnp.zeros((F, T, 1), jnp.uint32)], axis=2)
-        prevw = jnp.roll(wp, 1, axis=2)
-        widx = jnp.arange(ow + 1)[None, None, :]
-        prevw = jnp.where(widx >= 1, prevw, jnp.uint32(0))
-        shifted = ((wp << s)
-                   | ((prevw >> (jnp.uint32(31) - s)) >> jnp.uint32(1)))
-    if T > 1:
-        # boundary patch: tile t's first word also holds the tail bits of
-        # tile t-1 — word (k[t] - k[t-1]) of t-1's stream (in-bounds:
-        # every tile's stream ends >= 3 zeroed scalar-slot words before
-        # its buffer end, so d <= ow - 3)
-        d = (k[:, 1:] - k[:, :-1])[..., None]               # (F, T-1, 1)
-        miss = jnp.take_along_axis(shifted[:, :-1], d, axis=2)
-        patch = jnp.concatenate(
-            [jnp.zeros((F, 1, 1), jnp.uint32), miss], axis=1)
-        shifted = jnp.where(widx == 0, shifted | patch, shifted)
-
-    out_words = T * ow
-    pad = 8  # DUS windows may run past the last tile's real end
-
-    def place(tiles, ks):
-        out = jnp.zeros((out_words + tiles.shape[1] + pad,), jnp.uint32)
-        for t in range(T):
-            out = jax.lax.dynamic_update_slice(out, tiles[t], (ks[t],))
-        return out
-
-    wfull = jax.vmap(place)(shifted, k)
-    return wfull[:, :out_words], csum[:, -1]
