@@ -57,7 +57,10 @@ def main() -> int:
     from trpx_tpu.ops.pallas_pack import encode_batch_pallas
     from trpx_tpu.parallel.codec import AXIS, _encode_sharded_jit
 
-    Fm = max(64, F)
+    # 256-frame batches: the chain-length differential must carry ~20 ms
+    # of device work — at 64 frames (5 ms) the tunnel's +-2 ms jitter
+    # produced 40% swings between runs
+    Fm = max(256, F)
     padded = np.zeros((Fm, spec.n_padded), np.uint16)
     reps = rng.poisson(3.0, size=(Fm, n)).astype(np.uint16)
     reps[rng.random((Fm, n)) < 200.0 / n] = 60000
@@ -67,17 +70,22 @@ def main() -> int:
     mspec = measured_spec(spec, xs[0])
 
     def slope(mk):
-        def tmin(fn, a, r=7):
-            ts = []
-            for _ in range(r):
-                t0 = time.perf_counter()
-                int(fn(*a))
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
+        # INTERLEAVED chain-1/chain-5 sampling: the tunnel RTT drifts by
+        # multiple ms between windows, and two separate min-of-N windows
+        # once produced a 3.4x-faster-than-the-plain-kernel artifact;
+        # alternating samples keeps both mins in the same drift regime
         f1, f5 = mk(1), mk(5)
         int(f1(*xs[:1]))
         int(f5(*xs))
-        return max((tmin(f5, xs) - tmin(f1, xs[:1])) / 4, 1e-9)
+        t1s, t5s = [], []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            int(f1(*xs[:1]))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(f5(*xs))
+            t5s.append(time.perf_counter() - t0)
+        return max((min(t5s) - min(t1s)) / 4, 1e-9)
 
     def mk_sharded(chain):
         @jax.jit
