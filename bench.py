@@ -75,6 +75,19 @@ def _slope(mk, args1, args2, n1, n2, reps):
     return max((t2 - t1) / (n2 - n1), 1e-9), ts2
 
 
+def staged_values(spec):
+    """Values per frame the target kernel actually DMAs: the 8-row-
+    aligned natural-layout size for whole-frame kernels, the exact tile
+    grid for big (tiled) frames — presizing the synth avoids an in-jit
+    pad/slice copy of the whole batch before every chained call."""
+    from trpx_tpu.ops.pallas_pack import TILE_BLOCKS
+
+    if spec.pallas_ok:
+        return spec.n_staged
+    T = -(-spec.nb // TILE_BLOCKS)
+    return T * TILE_BLOCKS * spec.block
+
+
 def _synth(jax, jnp, spec, F, hot_val, seed=0):
     """Device-side diffraction frames padded to the kernel grid.
 
@@ -82,7 +95,7 @@ def _synth(jax, jnp, spec, F, hot_val, seed=0):
     f32 temps for a 1024-frame batch alone exceed HBM (observed 15.75G
     OOM); chunking bounds the live temp set while the final batch still
     lands in one contiguous array."""
-    n_full = spec.tree_rows * spec.block
+    n_full = staged_values(spec)
     dt = jnp.uint16 if spec.max_width <= 16 else jnp.uint32
 
     import functools

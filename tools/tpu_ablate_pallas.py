@@ -46,7 +46,7 @@ def main():
     levels = (P // L - 1).bit_length() + (L - 1).bit_length()
     print(f"P={P} levels={levels} caps={spec.pack_caps}", file=sys.stderr)
 
-    n_full = P * spec.block
+    n_full = spec.n_staged
 
     def synth(seed):
         key = jax.random.PRNGKey(seed)
@@ -67,7 +67,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    cuts = [-1, 0] + sorted(set(
+    cuts = [-2, -1, 0] + sorted(set(
         list(range(2, levels + 1, 2)) + [levels, (P // L - 1).bit_length()]
     ))
     prev_ms = 0.0
@@ -92,7 +92,8 @@ def main():
         int(f2(*xs[:N2]))
         t = max((tmin(f2, xs[:N2]) - tmin(f1, xs[:N1])) / (N2 - N1), 1e-9)
         ms = t * 1e3
-        label = ("plan" if cut == -1 else
+        label = ("transpose" if cut == -2 else
+                 "plan" if cut == -1 else
                  "stage" if cut == 0 else
                  f"levels<={cut}" + (" (FULL)" if c is None else ""))
         rows.append((label, ms, ms - prev_ms, F / t))

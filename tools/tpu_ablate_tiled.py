@@ -46,12 +46,16 @@ def main():
     T = -(-spec.nb // Tb)
     print(f"F={F} side={side} T={T} tiles of {Tb} blocks", file=sys.stderr)
 
+    nt = T * Tb * spec.block  # presized to the tile grid (no in-jit pad)
+
     def synth(seed):
         key = jax.random.PRNGKey(seed)
-        x = jax.random.poisson(key, 3.0, (F, n)).astype(jnp.uint32)
-        hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, n))
+        x = jax.random.poisson(key, 3.0, (F, nt)).astype(jnp.uint32)
+        lane = jnp.arange(nt)[None, :]
+        x = jnp.where(lane < n, x, 0)
+        hot = (jax.random.uniform(jax.random.fold_in(key, 1), (F, nt))
                < 0.02)  # overflow-heavy: 2% wide pixels
-        return jnp.where(hot, jnp.uint32(2_000_000_000), x)
+        return jnp.where(hot & (lane < n), jnp.uint32(2_000_000_000), x)
 
     xs = [jax.block_until_ready(synth(s)) for s in range(N2)]
     if mode == "measured":

@@ -61,7 +61,7 @@ def main() -> int:
     # of device work — at 64 frames (5 ms) the tunnel's +-2 ms jitter
     # produced 40% swings between runs
     Fm = max(256, F)
-    padded = np.zeros((Fm, spec.n_padded), np.uint16)
+    padded = np.zeros((Fm, spec.n_staged), np.uint16)
     reps = rng.poisson(3.0, size=(Fm, n)).astype(np.uint16)
     reps[rng.random((Fm, n)) < 200.0 / n] = 60000
     padded[:, :n] = reps

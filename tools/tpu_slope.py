@@ -40,7 +40,7 @@ N1, N2 = 1, 9
 
 
 def synth(spec, F, seed, n):
-    n_full = spec.tree_rows * spec.block
+    n_full = spec.n_staged
     key = jax.random.PRNGKey(seed)
     x = jax.random.poisson(key, 3.0, (F, n_full)).astype(jnp.uint16)
     lane = jnp.arange(n_full)[None, :]

@@ -79,6 +79,22 @@ class FrameSpec:
         return self.nb * self.block
 
     @property
+    def n_staged(self) -> int:
+        """Input size the Pallas natural-layout path DMAs per frame: the
+        real-value rows of the (L, R*B) grid, 8-row aligned. Padding a
+        batch to THIS size (not tree_rows*block) lets the kernel skip
+        the pure-zero tail rows of the pow2 block grid — up to 1.5x of
+        the input DMA (512² u16: 393,216 -> 270,336 values) — while the
+        kernel concats the zero rows in VMEM. Always >= n_padded, so
+        every other encoder accepts it unchanged."""
+        P = self.tree_rows
+        L = min(128, P)
+        R = P // L
+        rows_needed = -(-self.n // (R * self.block))
+        rows = min(L, (rows_needed + 7) // 8 * 8)
+        return rows * R * self.block
+
+    @property
     def worst_bits(self) -> int:
         return self.n_padded * self.max_width + self.nb * 12
 
@@ -270,6 +286,8 @@ def encode_frame_device(spec: FrameSpec, frame: jax.Array):
     from .pack import pack_frame
 
     B, nb = spec.block, spec.nb
+    if frame.shape[0] > nb * B:  # staged (n_staged) padding: tail is zero
+        frame = frame[: nb * B]
     plan = plan_frame(spec, frame)
     width, hb, hv = plan["width"], plan["hb"], plan["hv"]
 
@@ -309,7 +327,7 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec,
         Fp = 1
         while Fp < F:
             Fp *= 2
-    out = np.zeros((Fp, spec.n_padded), dtype=frames.dtype)
+    out = np.zeros((Fp, spec.n_staged), dtype=frames.dtype)
     out[:F, : spec.n] = frames
     return out
 

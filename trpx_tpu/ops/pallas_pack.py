@@ -156,6 +156,13 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     L = min(128, P)
     R = P // L
 
+    if cut is not None and cut < -1:  # input transpose only
+        chk = vplanes[0]
+        for v in vplanes[1:]:
+            chk = chk + v
+        return (_cut_row(jnp.sum(chk), ow_pad), _I32(0), _I32(0),
+                _I32(0), _I32(0))
+
     width, hb, hv, counts = _plan_planes(
         spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
         prev0=prev0,
@@ -496,8 +503,15 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref,
     R = P // L
     ow_pad = words_ref.shape[-2] * words_ref.shape[-1]  # (S, 128) grid
 
-    vplanes = (_natural_planes(frame_ref[0], R, B) if natural
-               else [frame_ref[0, j].astype(_I32) for j in range(B)])
+    if natural:
+        xi = frame_ref[0]
+        if xi.shape[0] < L:  # zero pad rows live in VMEM, not HBM
+            xi = jnp.concatenate(
+                [xi, jnp.zeros((L - xi.shape[0], xi.shape[1]),
+                               xi.dtype)], axis=0)
+        vplanes = _natural_planes(xi, R, B)
+    else:
+        vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
     row, _, total, maxw, over = _encode_body(spec, vplanes, ow_pad,
                                              cut=cut)
     # the per-frame scalars ride the last three word slots (the host
@@ -618,14 +632,23 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
     else:
         # NATURAL layout: a free metadata reshape — the kernel transposes
         # in VMEM (one 2-D transpose; the old XLA-side materialized
-        # transpose cost ~40% of encode wall time)
-        if frames.shape[1] < P * B:
-            pad = jnp.zeros((F, P * B - frames.shape[1]), frames.dtype)
+        # transpose cost ~40% of encode wall time).
+        # Only the rows that hold real values cross HBM: the pow2 tree
+        # pads blocks up to 1.5x (512² u16: 21,846 -> 32,768), and the
+        # padding rows are identically zero — the kernel concats them in
+        # VMEM instead of DMA-ing them (input DMA is the plan-cut floor,
+        # 0.94 of 1.12 ms per 256 frames; this trims it ~31%). Lr is
+        # 8-row aligned so the in-kernel sublane concat sits on tile
+        # boundaries.
+        Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
+        if frames.shape[1] < Lr * R * B:
+            pad = jnp.zeros((F, Lr * R * B - frames.shape[1]),
+                            frames.dtype)
             frames = jnp.concatenate([frames, pad], axis=1)
-        elif frames.shape[1] > P * B:  # caller over-padded; tail is zeros
-            frames = frames[:, : P * B]
-        x = frames.reshape(F, L, R * B)
-        in_spec = pl.BlockSpec((1, L, R * B), lambda f: (f, 0, 0),
+        elif frames.shape[1] > Lr * R * B:  # caller padded to P*B; the
+            frames = frames[:, : Lr * R * B]  # tail rows are zeros
+        x = frames.reshape(F, Lr, R * B)
+        in_spec = pl.BlockSpec((1, Lr, R * B), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)
         natural = True
     out_words = spec.out_words

@@ -148,7 +148,7 @@ class ShardedCodec:
         if n != self.spec.n:
             raise ValueError(f"frames have {n} values, spec says {self.spec.n}")
         Fp = -(-F // self.ndev) * self.ndev
-        out = np.zeros((Fp, self.spec.n_padded), dtype=frames.dtype)
+        out = np.zeros((Fp, self.spec.n_staged), dtype=frames.dtype)
         out[:F, : self.spec.n] = frames
         return out, F
 
@@ -197,11 +197,11 @@ class ShardedCodec:
                 f"× {nproc} processes (every process must pass the same "
                 "F_local; pad the tail host with zero frames)"
             )
-        padded = np.zeros((F_local, self.spec.n_padded), frames_local.dtype)
+        padded = np.zeros((F_local, self.spec.n_staged), frames_local.dtype)
         padded[:, : self.spec.n] = frames_local
         # globally the batch is (F_local * nproc, n_padded), frame-sharded;
         # each process contributes its addressable slice
-        global_shape = (F_local * nproc, self.spec.n_padded)
+        global_shape = (F_local * nproc, self.spec.n_staged)
         sharding = NamedSharding(self.mesh, P(AXIS, None))
         ndev_local = max(1, self.ndev // nproc)
         per_dev = -(-F_local // ndev_local)

@@ -167,7 +167,7 @@ class StreamingEncoder:
         from ..ops.coding import _best_encoder
 
         run = _best_encoder()
-        padded = np.zeros((F, self.spec.n_padded), dtype=self.dtype)
+        padded = np.zeros((F, self.spec.n_staged), dtype=self.dtype)
         padded[:, : self.spec.n] = frames
         out = run(self.spec, padded)  # async dispatch
         prev, self._pending = getattr(self, "_pending", None), (out, padded, F)
