@@ -463,10 +463,14 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
             n_total=n_total, cut=cut)
         out_ref[0, 0] = narrow(out)
     else:
-        # widths arrive in NATURAL (L, R) layout (free host reshape)
+        # widths arrive in NATURAL (L, R) layout (free host reshape).
+        # Only the rows holding real values leave the chip (out_ref may
+        # be (Lr < L, R*B): the pow2 tree's zero tail rows — up to 1.5x
+        # on 512² u16 — are dropped before the HBM write, mirroring the
+        # encode-side n_staged input trim).
         out = _decode_body(spec, w_pad, ratio, words_ref[0],
                            widths_ref[0], _I32(0), cut=cut)
-        out_ref[0] = narrow(out)
+        out_ref[0] = narrow(out)[: out_ref.shape[1]]
 
 
 def block_bits_host(spec: FrameSpec, widths: np.ndarray) -> np.ndarray:
@@ -558,6 +562,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     wplanes = widths_p.reshape(F, L, R)
 
     kernel = functools.partial(_kernel, spec, w_pad, ratio, cut=cut)
+    # only the rows with real values cross HBM (the decode twin of the
+    # encode n_staged input trim; Lr is 8-row aligned)
+    Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
     # hand the kernel a dense (w_pad/128, 128) word grid: the reshape is
     # free on the HBM buffer, while reshaping a (1, w_pad) lane row
     # inside the kernel was a full cross-tile relayout (3.9 ms/256fr)
@@ -570,11 +577,11 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
             pl.BlockSpec((1, L, R), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, R * B), lambda f: (f, 0, 0),
+        out_specs=pl.BlockSpec((1, Lr, R * B), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
         # unsigned <=16-bit targets emit native u16 (halved HBM write)
         out_shape=jax.ShapeDtypeStruct(
-            (F, L, R * B),
+            (F, Lr, R * B),
             jnp.uint16 if (not spec.signed and spec.max_width <= 16
                            and cut is None) else jnp.int32,
         ),
@@ -587,7 +594,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
         interpret=interpret,
     )(words.reshape(F, w_pad // 128, 128), wplanes)
     # the kernel emits the natural layout: reshape is free
-    return out.reshape(F, P * B)[:, : spec.n_padded]
+    return out.reshape(F, Lr * R * B)[:, : spec.n_padded]
 
 
 #: blocks per tile for big-frame decodes — matches pallas_pack.TILE_BLOCKS
