@@ -18,6 +18,13 @@ CASES = [
     (64, np.int32),
     (777, np.uint32),
     (3000, np.int32),
+    # S == 1 at the phase-2 transition (C == 128): the cyclic lifts'
+    # sublane-carry roll degenerates to an effective-zero shift, which
+    # interpret tolerates but Mosaic rejected on hardware (round-4
+    # campaign trial 0; fixed with the S > 1 guard in _roll3_*). Kept
+    # here for semantic coverage — the hardware lowering itself is only
+    # exercised by tools/differential_campaign.py --device.
+    (4095, np.uint32),
 ]
 
 

@@ -562,7 +562,11 @@ def _roll3_up_nz(x, step: int):
     if step % L == 0:
         return jnp.roll(x, step // L, axis=1)
     a = jnp.roll(x, step, axis=2)
-    b = jnp.roll(a, 1, axis=1)
+    # S == 1: the sublane carry wraps onto itself (roll by 1 mod 1 is
+    # the identity) — and jnp.roll's zero-effective-shift lowering emits
+    # a 0-sized slice that Mosaic rejects ("vector types must have
+    # positive constant sizes"), so return a directly
+    b = jnp.roll(a, 1, axis=1) if S > 1 else a
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     return jnp.where(lane >= step, a, b)
 
@@ -579,7 +583,7 @@ def _roll3_down_nz(x, step: int):
     if step % L == 0:
         return jnp.roll(x, -(step // L), axis=1)
     a = jnp.roll(x, -step, axis=2)
-    b = jnp.roll(a, -1, axis=1)
+    b = jnp.roll(a, -1, axis=1) if S > 1 else a  # see _roll3_up_nz
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     return jnp.where(lane < L - step, a, b)
 
@@ -599,7 +603,7 @@ def _roll3_down(x, step: int):
         sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
         return jnp.where(sub < S - k, rolled, _U32(0))
     a = jnp.roll(x, -step, axis=2)
-    b = jnp.roll(a, -1, axis=1)
+    b = jnp.roll(a, -1, axis=1) if S > 1 else a  # see _roll3_up_nz
     sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     bm = jnp.where(sub < S - 1, b, _U32(0))
@@ -722,7 +726,7 @@ def _roll2_up(x, step: int):
     if step % L == 0:
         return jnp.roll(x, step // L, axis=0)
     a = jnp.roll(x, step, axis=1)
-    b = jnp.roll(a, 1, axis=0)
+    b = jnp.roll(a, 1, axis=0) if S > 1 else a  # see _roll3_up_nz
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 1)
     return jnp.where(lane >= step, a, b)
 
