@@ -75,6 +75,15 @@ def _slope(mk, args1, args2, n1, n2, reps):
     return max((t2 - t1) / (n2 - n1), 1e-9), ts2
 
 
+def _measured_over(spec, xs):
+    """Measured capacity schedule proven over EVERY batch in ``xs``
+    (elementwise per-level max of the per-batch measured schedules)."""
+    from trpx_tpu.ops.coding import measured_spec
+
+    scheds = [measured_spec(spec, x).pack_caps for x in xs]
+    return spec.with_sched(tuple(max(c) for c in zip(*scheds)))
+
+
 def staged_values(spec):
     """Values per frame the target kernel actually DMAs: the 8-row-
     aligned natural-layout size for whole-frame kernels, the exact tile
@@ -131,10 +140,12 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
     xs = [_synth(jax, jnp, spec, F, 60000, seed=s) for s in range(n2)]
     try:
         # measured per-level capacity schedule (production default):
-        # the merge tree carries no slack this batch doesn't need
-        from trpx_tpu.ops.coding import measured_spec
-
-        spec = measured_spec(spec, xs[0])
+        # the merge tree carries no slack this batch doesn't need.
+        # Schedule over ALL chained batches (elementwise max): a single-
+        # batch schedule can overflow on a sibling batch's data (over
+        # flag fires, the stream is garbage, and the decode section's
+        # walk then rejects it — observed at 2048²/TILE_BLOCKS=16384).
+        spec = _measured_over(spec, xs)
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"measured schedule unavailable ({e})", file=sys.stderr)
 
@@ -273,9 +284,7 @@ def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
     xs = [_synth(jax, jnp, spec, F, 2_000_000_000, seed=2 + s)
           for s in range(n2)]
     try:
-        from trpx_tpu.ops.coding import measured_spec
-
-        spec = measured_spec(spec, xs[0])
+        spec = _measured_over(spec, xs)  # see bench_512
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"measured schedule unavailable ({e})", file=sys.stderr)
 

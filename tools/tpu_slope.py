@@ -72,7 +72,10 @@ def main():
     n = 512 * 512
     spec0 = FrameSpec.for_dtype(n, np.uint16)
     xs = [jax.block_until_ready(synth(spec0, F, s, n)) for s in range(N2)]
-    spec = measured_spec(spec0, xs[0])
+    # schedule proven over EVERY chained batch (a single-batch schedule
+    # can overflow on sibling batches — see bench._measured_over)
+    scheds = [measured_spec(spec0, x).pack_caps for x in xs]
+    spec = spec0.with_sched(tuple(max(c) for c in zip(*scheds)))
     print(f"sched {spec.pack_caps}", file=sys.stderr)
 
     if what in ("enc", "both"):

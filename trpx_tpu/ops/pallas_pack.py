@@ -715,7 +715,13 @@ def encode(
     return assemble_archive(spec, words, bits, maxw, dimensions)
 
 
-#: blocks per tile for big-frame encodes (a pow2 whose VMEM tree fits)
+#: blocks per tile for big-frame encodes (a pow2 whose VMEM tree fits).
+#: Swept round 4 with the in-kernel DMA placement: at F=8, 16384 reads
+#: ~5-10% faster than 32768 (2048² 3.60 vs 3.79 ms; 4096² 13.82 vs
+#: 15.34) but at the production F=32 batch they are identical (2,980 vs
+#: 2,978 fps, same max-schedule) — grid pipelining amortizes the
+#: per-tile fixed costs. 8192 and 65536 lose at every F (per-tile
+#: overhead / deeper trees + pow2 padding).
 TILE_BLOCKS = 32768
 
 
