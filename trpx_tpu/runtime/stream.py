@@ -392,6 +392,7 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     forces chunked host decode.
     """
     import jax
+    import jax.numpy as jnp
 
     from ..format.pycodec import TrpxArchive
     from ..ops.coding import (
@@ -462,6 +463,13 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     pos = 0
     pending = None  # (device result, real frame count)
     sched = None    # running measured schedule across chunks
+    # big frames (2K/4K): per-tile split kernels; join the tile schedule
+    # AND the tile word-window bucket across chunks exactly like the
+    # untiled sched join below — a per-chunk schedule/window is a fresh
+    # static jit key (minutes of recompile per chunk on drifting data)
+    tiled = (jax.default_backend() == "tpu"
+             and spec.tree_rows >= 128 and not spec.pallas_ok_decode)
+    wt_max = 0
 
     def _drain(p):
         vals = np.asarray(jax.device_get(p[0]))[: p[1], :n]
@@ -500,7 +508,29 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
             s_c = choose_schedule(spec, widths_p)
             sched = (s_c if sched is None
                      else tuple(max(a, b) for a, b in zip(sched, s_c)))
-        fut = run(spec, words, widths_p, None, sched)
+        if tiled:
+            from ..ops.pallas_unpack import (
+                decode_batch_pallas_tiled,
+                tile_prepass,
+            )
+
+            words_t, shift_c, prev0_c, s_c = tile_prepass(
+                spec, widths_p.astype(np.int32), words)
+            sched = (s_c if sched is None
+                     else tuple(max(a, b) for a, b in zip(sched, s_c)))
+            wt_max = max(wt_max, words_t.shape[2])
+            if words_t.shape[2] < wt_max:  # monotone window bucket
+                words_t = np.concatenate(
+                    [words_t,
+                     np.zeros((*words_t.shape[:2],
+                               wt_max - words_t.shape[2]), np.uint32)],
+                    axis=2)
+            fut = decode_batch_pallas_tiled(
+                spec, jnp.asarray(words_t),
+                jnp.asarray(widths_p.astype(np.int32)),
+                jnp.asarray(shift_c), jnp.asarray(prev0_c), False, sched)
+        else:
+            fut = run(spec, words, widths_p, None, sched)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)
