@@ -89,7 +89,12 @@ def _in_reference_envelope(vals: np.ndarray, block: int) -> bool:
 #: finishes. Random DATA still covers the semantics; shape-dependent
 #: routing is covered by tools/tpu_size_matrix.py.
 DEVICE_SHAPES = [(1, 144, 12), (3, 144, 12), (2, 1000, 12), (4, 1000, 16),
-                 (2, 4096, 12), (1, 4095, 12)]
+                 (2, 4096, 12), (1, 4095, 12),
+                 # big enough that u32/i32 dtypes exceed the VMEM budget
+                 # and take the TILED kernels on real hardware (the other
+                 # randomized tiled coverage is interpret-mode only);
+                 # ~12 s of pycodec per hit, so exactly one palette entry
+                 (1, 3_200_000, 12)]
 
 
 def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
