@@ -94,7 +94,12 @@ DEVICE_SHAPES = [(1, 144, 12), (3, 144, 12), (2, 1000, 12), (4, 1000, 16),
                  # and take the TILED kernels on real hardware (the other
                  # randomized tiled coverage is interpret-mode only);
                  # ~12 s of pycodec per hit, so exactly one palette entry
-                 (1, 3_200_000, 12)]
+                 (1, 3_200_000, 12),
+                 # the routing FRONTIER: 1M values sits untiled for
+                 # encode but tiled for decode (pallas_ok 40 MB vs
+                 # pallas_ok_decode 8 MB thresholds), mixing the kernel
+                 # pairs within one round trip
+                 (1, 1_048_576, 12)]
 
 
 def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
