@@ -127,6 +127,33 @@ def _synth(jax, jnp, spec, F, hot_val, seed=0):
     return jax.block_until_ready(x)
 
 
+def _pipelined_foreign(jax, jnp, arch, dtype, F, C, reps):
+    """Wall-clock of the REAL runtime/stream.iter_decode pipeline on a
+    cold (sidecar-free) archive: per-chunk walk + prepass + H2D + device
+    unpack, with the walk of chunk k+1 overlapping the unpack of chunk k.
+    fetch=False keeps the pixels device-resident (the on-device-consumer
+    path), so the tunnel's slow device->host pixel copy — which a
+    production host doesn't have — stays out of the number. Returns
+    min-of-reps seconds."""
+    from trpx_tpu.runtime.stream import iter_decode
+
+    def once():
+        # fresh archive view: iter_decode caches its walk tables on the
+        # archive (sidecar support), and this times FIRST contact
+        cold = type(arch)(meta=arch.meta, payload=arch.payload)
+        cold._padded_buf = getattr(arch, "_padded_buf", None)
+        t0 = time.perf_counter()
+        chks = []
+        for dev, nf in iter_decode(cold, dtype, chunk_frames=C,
+                                   device=True, fetch=False):
+            chks.append(dev[0, 0].astype(jnp.int32))
+        int(jnp.stack(chks).sum())  # materialize: drains the pipeline
+        return time.perf_counter() - t0
+
+    once()  # warm: compiles every chunk-shape/schedule key
+    return min(once() for _ in range(reps))
+
+
 def bench_512(jax, jnp, F, reps, n1=1, n2=9):
     """512×512 u16: Pallas VMEM encode + split-tree decode."""
     from trpx_tpu.ops.coding import (
@@ -253,8 +280,15 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
         return step
 
     t_dec, ts_dec = _slope(mk_dec, dargs[: 2 * n1], dargs, n1, n2, reps)
+    try:
+        t_pipe = _pipelined_foreign(jax, jnp, arch, np.uint16, F,
+                                    max(32, F // 4), max(3, min(reps, 5)))
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"pipelined foreign bench unavailable: {e}", file=sys.stderr)
+        t_pipe = None
     return dict(
         kernel=kernel_name, dec_kernel=dec_name,
+        pipelined_fps=(F / t_pipe if t_pipe else None),
         enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * arch.meta.number_of_values * 2 / t_enc / 1e9,
         dec_gbs=F * arch.meta.number_of_values * 2 / t_dec / 1e9,
@@ -299,8 +333,12 @@ def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
             chk = jnp.uint32(0)
             for i in range(chain):
                 w, b, m, o = encode_batch_pallas_tiled(spec, a[i])
-                chk = (chk + jnp.uint32(b.sum()) + w[0, 0] + w[-1, -1]
-                       + jnp.uint32(o.sum()))
+                # consume only defined words: under the tiled encoder's
+                # contract, words past a frame's 1 + bits//8 bytes are
+                # UNSPECIFIED (rows past the last DMA window are never
+                # written), so w[-1, -1] would read uninitialized HBM
+                chk = (chk + jnp.uint32(b.sum()) + w[0, 0]
+                       + jnp.uint32(m.max()) + jnp.uint32(o.sum()))
             return chk
         return step
 
@@ -352,7 +390,14 @@ def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
         return step
 
     t_dec, ts_dec = _slope(mk_dec, dargs[: 4 * n1], dargs, n1, n2, reps)
+    try:
+        t_pipe = _pipelined_foreign(jax, jnp, arch, np.uint32, F,
+                                    max(2, F // 4), 3)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"pipelined foreign bench unavailable: {e}", file=sys.stderr)
+        t_pipe = None
     return dict(
+        pipelined_fps=(F / t_pipe if t_pipe else None),
         enc_fps=F / t_enc, dec_fps=F / t_dec,
         enc_gbs=F * n * 4 / t_enc / 1e9, dec_gbs=F * n * 4 / t_dec / 1e9,
         walk_fps=F / walk_s, dec_ratio=ratio,
@@ -425,6 +470,9 @@ def main() -> None:
         f"frames/s; chain rep ms {[round(v * 1e3, 1) for v in r5['ts_dec']]}",
         file=sys.stderr,
     )
+    if r5.get("pipelined_fps"):
+        print(f"pipelined foreign 512: {r5['pipelined_fps']:,.0f} frames/s "
+              f"(iter_decode, device-resident)", file=sys.stderr)
 
     extra_2k = {}
     for edge, F_big, ref_fps in ((2048, 32, REFERENCE_2K_FPS),
@@ -447,6 +495,12 @@ def main() -> None:
                     round(rb["foreign_fps"], 1),
                 f"encode_{edge}_vs_reference": round(rb["enc_fps"] / ref_fps, 2),
             })
+            if rb.get("pipelined_fps"):
+                extra_2k[f"foreign_pipelined_{edge}x{edge}_u32_frames_per_s"] = \
+                    round(rb["pipelined_fps"], 1)
+                print(f"[tiled] pipelined foreign {edge}: "
+                      f"{rb['pipelined_fps']:,.1f} frames/s (iter_decode, "
+                      f"device-resident)", file=sys.stderr)
         except Exception as e:  # pragma: no cover - backend-dependent
             print(f"{edge} bench unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -460,6 +514,8 @@ def main() -> None:
         "decode_vs_reference": round(r5["dec_fps"] / REFERENCE_DECODE_FPS, 2),
         "host_walk_frames_per_s": round(r5["walk_fps"], 1),
         "foreign_decode_512x512_u16_frames_per_s": round(r5["foreign_fps"], 1),
+        **({"foreign_pipelined_512x512_u16_frames_per_s":
+            round(r5["pipelined_fps"], 1)} if r5.get("pipelined_fps") else {}),
         **extra_2k,
     }))
 

@@ -58,13 +58,15 @@ def main() -> int:
         from trpx_tpu.parallel.distributed import write_run_manifest
 
         if pid == 0:
-            write_run_manifest(outfile, res, spec, F_global)
+            write_run_manifest(outfile, res, spec, F_global,
+                               dtype=frames.dtype)
     else:
         write_shard_file(outfile, res, spec, F_global, dimensions=())
         from trpx_tpu.parallel.distributed import write_run_manifest
 
         if pid == 0:
-            write_run_manifest(outfile, res, spec, F_global)
+            write_run_manifest(outfile, res, spec, F_global,
+                               dtype=frames.dtype)
 
     from jax.experimental import multihost_utils
 

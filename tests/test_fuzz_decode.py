@@ -215,3 +215,116 @@ def test_sidecar_fuzz(tmp_path):
             dev = ops.decode(read_trpx(p), np.uint16)
             np.testing.assert_array_equal(
                 np.asarray(dev).reshape(6, -1)[:, :500], stack)
+
+
+# ------------------------------------------------- tiled decode route ---
+
+
+def _tiled_base(seed=21, frames=3, n=3000):
+    rng = np.random.default_rng(seed)
+    stack = rng.poisson(3.0, size=(frames, n)).astype(np.uint16)
+    stack[:, rng.integers(0, n, 30)] = 65535
+    return stack, pycodec.encode(list(stack))
+
+
+def test_tiled_route_hostile_tables():
+    """The tiled decode route (tile_prepass + decode_batch_pallas_tiled)
+    consumes the same untrusted width tables as the whole-frame paths:
+    width over-claims, negative widths, zeroed tables and byte-flipped
+    word streams must decode to garbage or raise cleanly — never crash,
+    hang, or read out of bounds (VERDICT r4 ask #8)."""
+    from trpx_tpu.ops.coding import FrameSpec, walk_archive
+    from trpx_tpu.ops.pallas_unpack import decode_tiled_host
+
+    stack, arch = _tiled_base()
+    spec = FrameSpec.for_dtype(3000, np.uint16)
+    widths, _p, words = walk_archive(arch, spec)
+
+    # sane baseline first: the small-tile route must be exact
+    out = np.asarray(decode_tiled_host(spec, words, widths,
+                                       interpret=True, tile_blocks=64))
+    np.testing.assert_array_equal(out[:, :3000].astype(np.uint16), stack)
+
+    rng = np.random.default_rng(5)
+    F, nb = widths.shape
+    for trial in range(24):
+        wd = widths.copy()
+        kind = trial % 4
+        if kind == 0:     # width over-claims (past prolix_bits, up to 255)
+            idx = rng.integers(0, nb, 5)
+            wd[rng.integers(0, F), idx] = rng.integers(17, 256, 5)
+        elif kind == 1:   # negative widths
+            wd[rng.integers(0, F), rng.integers(0, nb, 3)] = -int(
+                rng.integers(1, 100))
+        elif kind == 2:   # zeroed tail (offsets collapse)
+            wd[:, int(rng.integers(0, nb)):] = 0
+        else:             # word-stream byte flips
+            wv = words.copy().view(np.uint8)
+            for _ in range(8):
+                wv[rng.integers(0, wv.shape[0]),
+                   rng.integers(0, wv.shape[1])] ^= int(
+                       rng.integers(1, 256))
+        try:
+            o = decode_tiled_host(spec, words, wd, interpret=True,
+                                  tile_blocks=64)
+            np.asarray(o)  # force materialization
+        except OK_ERRORS:
+            pass
+
+
+def test_stale_sidecar_rejected(tmp_path):
+    """A CRC-valid but STALE sidecar (archive re-encoded in place with
+    the same shape) must not walk-free-decode to garbage: the table
+    cross-check (ops.coding.validate_tables) falls back to a real walk
+    and the decode is exact."""
+    from trpx_tpu.io.trpx import read_trpx, write_trpx
+
+    rng = np.random.default_rng(31)
+    old = rng.poisson(3.0, size=(5, 1200)).astype(np.uint16)
+    new = rng.poisson(3.0, size=(5, 1200)).astype(np.uint16)
+    new[0, 0] = 60001  # ensure different widths/sizes somewhere
+    p = tmp_path / "s.trpx"
+    write_trpx(pycodec.encode(list(old)), p, index=True)   # sidecar of OLD
+    # re-encode NEW data in place, keeping the stale sidecar
+    p.write_bytes(pycodec.encode(list(new)).to_bytes())
+    loaded = read_trpx(p)
+    with np.testing.suppress_warnings() as sup:
+        sup.filter(RuntimeWarning)
+        out = api.decompress(loaded, dtype=np.uint16, device=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(5, 1200), new)
+    out2 = api.decompress(read_trpx(p), dtype=np.uint16, device=False)
+    np.testing.assert_array_equal(np.asarray(out2).reshape(5, 1200), new)
+
+
+def test_crafted_sidecar_inconsistent_tables(tmp_path):
+    """A crafted sidecar with IN-RANGE widths (every load-time gate
+    passes: CRC, shape, widths <= prolix_bits) that are inconsistent
+    with the stream must still be distrusted — the byte-length
+    cross-check (ops.coding.validate_tables) re-walks instead of
+    garbage-decoding through the walk-free v2 path."""
+    from trpx_tpu.io.trpx import read_trpx, write_index, write_trpx
+    from trpx_tpu.runtime.stream import iter_decode
+
+    rng = np.random.default_rng(32)
+    stack = rng.poisson(3.0, size=(5, 1200)).astype(np.uint16)
+    stack[:, rng.integers(0, 1200, 20)] = 65535   # prolix_bits = 16
+    arch = pycodec.encode(list(stack))
+    assert arch.meta.prolix_bits == 16
+    p = tmp_path / "c.trpx"
+    write_trpx(arch, p, index=True)
+    good = read_trpx(p)
+    assert good.frame_index is not None and good.width_table is not None
+    bad_w = np.asarray(good.width_table).copy()
+    bad_w[2, 3] = 6 if bad_w[2, 3] != 6 else 5   # <= prolix_bits, wrong
+    write_index(p, np.asarray(good.frame_index), arch.meta.memory_size,
+                widths=bad_w)
+    loaded = read_trpx(p)
+    assert loaded.width_table is not None  # every load-time gate passed
+    with np.testing.suppress_warnings() as sup:
+        sup.filter(RuntimeWarning)
+        out = api.decompress(loaded, dtype=np.uint16, device=True)
+        np.testing.assert_array_equal(np.asarray(out).reshape(5, 1200), stack)
+        # chunked pipeline must also re-walk, not trust the tables
+        got = np.concatenate(list(iter_decode(read_trpx(p), np.uint16,
+                                              chunk_frames=2, device=True)))
+    np.testing.assert_array_equal(got, stack)

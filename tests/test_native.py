@@ -181,3 +181,48 @@ def test_partial_blocks_multiframe():
         b = pycodec.encode(list(frames))
         assert a.payload == b.payload, f"n={n}"
         np.testing.assert_array_equal(ncodec.decode(a, np.uint16), frames)
+
+
+def test_tile_tables_matches_numpy():
+    """Native prepass tables == the numpy block_bits/level-maxima path
+    (bit lengths per Terse.hpp:517-535's header chain + width*count)."""
+    from trpx_tpu.ops import pallas_unpack as pu
+    from trpx_tpu.ops.coding import FrameSpec
+
+    rng = np.random.default_rng(11)
+    for n, Tb, F in ((5000, 64, 3), (12 * 4096, 1024, 2), (999, 32, 1)):
+        spec = FrameSpec.for_dtype(n, np.dtype(np.uint16))
+        nb = spec.nb
+        widths = rng.integers(0, 14, size=(F, nb)).astype(np.int32)
+        # repeat runs so the ==prev header-bit branch is exercised
+        widths[:, 1::3] = widths[:, 0:-1:3]
+        T = -(-nb // Tb)
+        bits = pu.block_bits_host(spec, widths)
+        bits_p = np.zeros((F, T * Tb), np.int64)
+        bits_p[:, :nb] = bits
+        tb_ref = bits_p.reshape(F, T, Tb).sum(axis=2)
+        lm_ref = pu._level_maxima(bits_p.reshape(F * T, Tb), Tb)
+        tb, lm = native.tile_tables(widths, n, spec.block, Tb)
+        np.testing.assert_array_equal(tb, tb_ref)
+        assert lm == lm_ref
+
+
+def test_tile_tables_rejects_bad_args():
+    w = np.zeros((1, 8), np.int32)
+    with pytest.raises(ValueError):
+        native.tile_tables(w, 96, 12, 48)  # Tb not a power of two
+
+
+def test_tile_windows_hostile_offsets():
+    """Out-of-range window offsets (hostile sidecar tables) must produce
+    zero windows, not OOB reads / negative wraps."""
+    from trpx_tpu.ops.pallas_unpack import _tile_windows
+
+    words = np.arange(1, 257, dtype=np.uint32).reshape(2, 128)
+    ws = np.array([[0, -5], [1000, 120]], dtype=np.int64)
+    out = _tile_windows(words, ws, 16)
+    np.testing.assert_array_equal(out[0, 0], words[0, :16])
+    assert not out[0, 1].any()          # negative offset -> zeros
+    assert not out[1, 0].any()          # past-the-end offset -> zeros
+    np.testing.assert_array_equal(out[1, 1, :8], words[1, 120:])
+    assert not out[1, 1, 8:].any()      # tail zeroed

@@ -102,6 +102,54 @@ def test_iter_decode_chunks(tmp_path):
     np.testing.assert_array_equal(got, frames)
 
 
+def test_iter_decode_device_resident(tmp_path):
+    """fetch=False yields device-resident (C, n_padded) chunks whose
+    sliced rows match the fetched decode, without a host round-trip."""
+    rng = np.random.default_rng(13)
+    frames = _frames(rng, 19)
+    arch = pycodec.encode(list(frames))
+    n = arch.meta.number_of_values
+    parts = []
+    for dev, nf in iter_decode(arch, np.uint16, chunk_frames=5,
+                               device=True, fetch=False):
+        parts.append(np.asarray(dev)[:nf, :n])
+    got = np.concatenate(parts).astype(np.uint16)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_iter_decode_fetch_false_requires_device():
+    rng = np.random.default_rng(14)
+    arch = pycodec.encode(list(_frames(rng, 3)))
+    with pytest.raises(ValueError):
+        next(iter_decode(arch, np.uint16, device=False, fetch=False))
+
+
+def test_iter_decode_caches_walk_tables():
+    """The chunked pipeline must leave full walk tables on the archive
+    (the CLI's default sidecar write then skips a second full walk —
+    ADVICE r4), and those tables must match a direct walk."""
+    from trpx_tpu import native
+    from trpx_tpu.io.trpx import _compute_offsets
+
+    if not native.available():
+        pytest.skip("native walker required for the pipelined route")
+    rng = np.random.default_rng(15)
+    frames = _frames(rng, 19)
+    arch = pycodec.encode(list(frames))
+    arch2 = pycodec.TrpxArchive(meta=arch.meta, payload=arch.payload)
+    list(iter_decode(arch2, np.uint16, chunk_frames=5, device=True))
+    wt = getattr(arch2, "width_table", None)
+    fidx = getattr(arch2, "frame_index", None)
+    assert wt is not None and fidx is not None
+    offs_ref, wt_ref = _compute_offsets(arch)
+    np.testing.assert_array_equal(np.asarray(fidx), offs_ref)
+    np.testing.assert_array_equal(wt, wt_ref)
+    # and a second pass reuses them (walk-free) with identical output
+    got = np.concatenate(list(iter_decode(arch2, np.uint16,
+                                          chunk_frames=5, device=True)))
+    np.testing.assert_array_equal(got, frames)
+
+
 def test_metrics_report():
     t = StageTimer()
     with t.stage("kernel"):

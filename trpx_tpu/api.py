@@ -154,6 +154,10 @@ def _as_stack(frames) -> tuple[np.ndarray, tuple[int, ...]]:
         frames = frames.reshape(frames.shape[0], -1)
     else:
         raise ValueError("frames must be 1-D, 2-D (one image) or 3-D (stack)")
+    if frames.shape[0] == 0 or frames.shape[1] == 0:
+        # match the normative codec (format/pycodec.py): a degenerate
+        # 0-frame/0-value archive is never valid TRPX
+        raise ValueError("no frames to encode")
     return frames, dims
 
 
@@ -223,14 +227,16 @@ def output_dtype(meta: TrpxMeta) -> np.dtype:
 
 
 def decompress(
-    archive: TrpxArchive | bytes,
+    archive: TrpxArchive | bytes | str,
     dtype=None,
     device: bool | None = None,
     frames=None,
 ) -> np.ndarray:
     """Decode an archive to pixels.
 
-    ``archive`` may be a :class:`TrpxArchive` or the raw ``.trpx`` bytes.
+    ``archive`` may be a :class:`TrpxArchive`, the raw ``.trpx`` bytes,
+    or a filesystem path (read via :func:`io.trpx.read_trpx`, which also
+    attaches any ``.idx`` sidecar — repeat decodes are then walk-free).
     Returns (F, h, w) when the header carries 2-D dimensions, else (F, n);
     single-frame archives are squeezed to (h, w) / (n,).
     ``dtype`` defaults to :func:`output_dtype` of the stream.
@@ -238,6 +244,10 @@ def decompress(
     slice, or sequence of indices; cost is O(selected frames), not
     O(archive) (frames are byte-aligned and independent, Terse.hpp:505).
     """
+    if isinstance(archive, (str, os.PathLike)):
+        from .io.trpx import read_trpx
+
+        archive = read_trpx(archive)
     if isinstance(archive, (bytes, bytearray, memoryview)):
         archive = TrpxArchive.from_bytes(bytes(archive))
     if frames is not None:

@@ -98,6 +98,11 @@ def _load() -> ctypes.CDLL | None:
         lib.trpx_gather_frames.argtypes = [
             c_u8p, c_i64p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64,
         ]
+        lib.trpx_tile_prepass.restype = ctypes.c_int
+        lib.trpx_tile_prepass.argtypes = [
+            c_i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, c_i64p, c_i64p,
+        ]
         lib.trpx_decode_frames.restype = ctypes.c_int
         lib.trpx_decode_frames.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -269,6 +274,32 @@ def walk_indexed(payload, fstarts: np.ndarray, nvalues: int,
     )
     _check_width(rc, max_width)
     return widths, poffs
+
+
+def tile_tables(widths: np.ndarray, nvalues: int, block: int,
+                tile_blocks: int):
+    """Tiled-decode prepass tables at C speed (OpenMP).
+
+    Returns (tile_bits (F, T) int64, level_max list[int] of log2(Tb)
+    per-level node maxima) computed from the walk's (F, nb) width
+    tables — the native twin of pallas_unpack.block_bits_host +
+    _level_maxima. ``tile_blocks`` must be a power of two."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    widths = np.ascontiguousarray(widths, dtype=np.int32)
+    F, nb = widths.shape
+    T = -(-nb // tile_blocks)
+    levels = max(0, tile_blocks.bit_length() - 1)
+    tile_bits = np.empty((F, T), dtype=np.int64)
+    level_max = np.zeros(max(1, levels), dtype=np.int64)
+    rc = lib.trpx_tile_prepass(
+        _ptr(widths, ctypes.c_int32), F, nb, nvalues, block, tile_blocks,
+        _ptr(tile_bits, ctypes.c_int64), _ptr(level_max, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("tile_prepass: invalid arguments")
+    return tile_bits, [int(v) for v in level_max[:levels]]
 
 
 def encode_frames(frames: np.ndarray, block: int, signed: bool):

@@ -692,6 +692,78 @@ int decode_frames_impl(const uint8_t* payload, int64_t payload_len,
 }  // namespace
 }  // extern "C++"
 
+// Decode prepass tables for the tiled big-frame route: per-tile total
+// bit lengths plus per-level maxima of the pairwise-sum trees, computed
+// straight from the walk's width tables (the per-block bit length is
+// fully determined by the header repeat chain + width*count,
+// Terse.hpp:517-535 / SURVEY §2.1 — same rule as the Python
+// block_bits_host). Replaces a host-numpy pipeline whose int64
+// temporaries cost ~2 s per 32-frame 2048² batch on a contended host.
+//
+//   widths    [F * nb]   int32 — header-walk output
+//   tile_bits [F * T]    int64 — total bits per tile, T = ceil(nb/Tb)
+//   level_max [log2(Tb)] int64 — level i = the largest aligned node of
+//             2^(i+1) blocks in any (frame, tile) subtree
+//
+// Tb must be a power of two (the kernels' grid); blocks at index >= nb
+// (grid padding) contribute 0 bits. Returns 0, or -1 on bad arguments.
+int trpx_tile_prepass(const int32_t* widths, int64_t F, int64_t nb,
+                      int64_t nvalues, int64_t block, int64_t Tb,
+                      int64_t* tile_bits, int64_t* level_max) {
+    if (F < 0 || nb <= 0 || Tb <= 0 || (Tb & (Tb - 1)) || block <= 0)
+        return -1;
+    int64_t T = (nb + Tb - 1) / Tb;
+    int levels = 0;
+    while ((int64_t(1) << (levels + 1)) <= Tb) ++levels;
+    for (int i = 0; i < levels; ++i) level_max[i] = 0;
+#pragma omp parallel if(F * T * Tb * 16 >= kOmpMinBytes)
+    {
+        // per-thread node buffer + level maxima; merged once at the end
+        std::vector<int64_t> buf((size_t)Tb);
+        std::vector<int64_t> lmax((size_t)levels, 0);
+#pragma omp for schedule(static) collapse(2)
+        for (int64_t f = 0; f < F; ++f) {
+            for (int64_t t = 0; t < T; ++t) {
+                const int32_t* wrow = widths + f * nb;
+                const int64_t base = t * Tb;
+                int64_t sum = 0;
+                for (int64_t j = 0; j < Tb; ++j) {
+                    int64_t idx = base + j;
+                    int64_t bits = 0;
+                    if (idx < nb) {
+                        int64_t w = wrow[idx];
+                        int64_t prev = idx ? wrow[idx - 1] : 0;
+                        int64_t hb = (w == prev)
+                            ? 1 : (w < 7 ? 4 : (w < 10 ? 6 : 12));
+                        int64_t count = nvalues - idx * block;
+                        if (count > block) count = block;
+                        bits = hb + w * count;
+                    }
+                    buf[(size_t)j] = bits;
+                    sum += bits;
+                }
+                tile_bits[f * T + t] = sum;
+                int64_t nn = Tb;
+                for (int lvl = 0; lvl < levels; ++lvl) {
+                    nn >>= 1;
+                    int64_t mx = lmax[(size_t)lvl];
+                    for (int64_t i = 0; i < nn; ++i) {
+                        int64_t s = buf[2 * i] + buf[2 * i + 1];
+                        buf[(size_t)i] = s;
+                        if (s > mx) mx = s;
+                    }
+                    lmax[(size_t)lvl] = mx;
+                }
+            }
+        }
+#pragma omp critical
+        for (int i = 0; i < levels; ++i)
+            if (lmax[(size_t)i] > level_max[i])
+                level_max[i] = lmax[(size_t)i];
+    }
+    return 0;
+}
+
 int trpx_decode_frames(const uint8_t* payload, int64_t payload_len,
                        int64_t nframes, int64_t nvalues, int64_t block,
                        const int32_t* widths, const int64_t* poffs,

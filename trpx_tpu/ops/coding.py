@@ -618,6 +618,55 @@ def decode_batch_device(spec: FrameSpec, words, widths, poffs=None):
     )
 
 
+def validate_tables(spec: FrameSpec, meta, wtab: np.ndarray,
+                    starts: np.ndarray, ends: np.ndarray) -> None:
+    """Cross-check sidecar v2 tables before trusting them for walk-free
+    decode. The sidecar CRC only proves the FILE is intact — a stale
+    sidecar (archive re-encoded in place) or a crafted one passes it, so
+    the tables themselves must be proven against the header:
+
+    - every width within the header's prolix_bits claim (Terse.hpp:516);
+    - frame offsets a contiguous partition of the payload;
+    - each frame's byte length EXACTLY the one its width table implies
+      (1 + total_bits // 8, the terminal-byte rule of Terse.hpp:547) —
+      total bits are fully determined by the widths (header repeat chain
+      + width x count), so any inconsistent table fails here.
+
+    Cost: one vectorized pass over the tables (native tile_tables,
+    ~ms/GB) — far below the serial walk these tables replace. Raises
+    ValueError on any mismatch.
+    """
+    F = wtab.shape[0]
+    if F == 0:
+        return
+    w = np.asarray(wtab)
+    wmax = int(w.max(initial=0)) if w.size else 0
+    if wmax > meta.prolix_bits:
+        raise ValueError(
+            f"sidecar width {wmax} exceeds the header's "
+            f"prolix_bits={meta.prolix_bits}")
+    if w.dtype.kind == "i" and w.size and int(w.min()) < 0:
+        raise ValueError("sidecar width table holds negative widths")
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    sizes = ends - starts
+    if (int(starts[0]) != 0 or bool(np.any(sizes <= 0))
+            or int(ends[-1]) != meta.memory_size
+            or bool(np.any(starts[1:] != ends[:-1]))):
+        raise ValueError(
+            "sidecar frame offsets are not a contiguous partition of "
+            "the payload")
+    from .pallas_unpack import _tile_tables
+
+    Tb = min(32768, 1 << max(0, int(spec.nb - 1).bit_length()))
+    tb, _lm = _tile_tables(spec, np.ascontiguousarray(w, np.int32), Tb)
+    nbytes = 1 + tb.sum(axis=1) // 8
+    if not np.array_equal(nbytes, sizes):
+        raise ValueError(
+            "sidecar width tables disagree with the frame byte ranges "
+            "(stale or crafted sidecar)")
+
+
 def walk_archive(
     archive: TrpxArchive, spec: FrameSpec, pad_frames_to: int | None = None
 ):
@@ -666,11 +715,24 @@ def walk_archive(
     if (wtab is not None and fidx0 is not None
             and wtab.shape == (F, nb)):
         # sidecar v2 (io/trpx.py): offsets AND width tables come from
-        # the index — no header walk at all; the whole prepass is the
-        # parallel memcpy gather below
-        widths[:F] = wtab
+        # the index — but a CRC-valid sidecar can still be stale or
+        # crafted, so prove the tables against the header first; on any
+        # mismatch distrust BOTH tables and fall back to a real walk
         starts = np.asarray(fidx0, dtype=np.int64)
         ends = np.concatenate([starts[1:], [meta.memory_size]])
+        try:
+            validate_tables(spec, meta, wtab, starts, ends)
+        except ValueError as e:
+            from .._fallback import warn_once
+
+            warn_once("ops.sidecar_tables", e,
+                      "revalidating header walk")
+            wtab = fidx0 = None
+    if (wtab is not None and fidx0 is not None
+            and wtab.shape == (F, nb)):
+        # validated: no header walk at all; the whole prepass is the
+        # parallel memcpy gather below
+        widths[:F] = wtab
     elif have_native and fidx0 is not None:
         # sidecar/encoder-provided offsets: frames walk in parallel
         fidx = np.asarray(fidx0, dtype=np.int64)

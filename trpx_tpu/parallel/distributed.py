@@ -162,12 +162,17 @@ def write_run_manifest(
     spec: FrameSpec,
     n_frames: int,
     dimensions: tuple[int, ...] = (),
+    dtype=None,
 ) -> None:
     """Persist the replicated size table next to the shared output file
     (coordinator only, typically). Encode is deterministic and stateless
     per frame, so this manifest is everything a restarted host needs to
     re-encode and re-write its shard WITHOUT any collective — the elastic
-    recovery path (SURVEY §5: re-enqueue unfinished frame ranges)."""
+    recovery path (SURVEY §5: re-enqueue unfinished frame ranges).
+
+    ``dtype``: the pixel dtype of the original run (stored so recovery
+    rebuilds the SAME FrameSpec instead of reverse-engineering a dtype
+    from max_width — matching runtime/stream.py's manifest semantics)."""
     import json
 
     m = {
@@ -180,6 +185,8 @@ def write_run_manifest(
         "max_width": int(spec.max_width),
         "dimensions": list(dimensions),
     }
+    if dtype is not None:
+        m["dtype"] = np.dtype(dtype).str
     mp = str(path) + ".runmanifest"
     tmp = mp + ".tmp"
     with open(tmp, "w") as f:
@@ -202,13 +209,20 @@ def recover_shard(path, frames_local: np.ndarray, frame_lo: int) -> None:
 
     with open(str(path) + ".runmanifest") as f:
         m = json.load(f)
-    dtype_bits = m["max_width"] - (1 if m["signed"] else 0)
-    dtype = np.dtype(
-        ("i" if m["signed"] else "u") + str(max(1, dtype_bits // 8))
-    )
+    if "dtype" in m:
+        dtype = np.dtype(m["dtype"])
+    else:
+        # legacy manifests (no dtype field): reconstruct from max_width
+        dtype_bits = m["max_width"] - (1 if m["signed"] else 0)
+        dtype = np.dtype(
+            ("i" if m["signed"] else "u") + str(max(1, dtype_bits // 8))
+        )
     spec = FS.for_dtype(m["nvalues"], dtype, m["block"], cap_ratio=0.5)
     F_local = frames_local.shape[0]
-    padded = np.zeros((F_local, spec.n_padded), dtype)
+    # stage exactly like the main encode path (ShardedCodec.pad_frames /
+    # encode_shards pad to n_staged): the kernels' input contract is the
+    # staging width, not the tree width n_padded
+    padded = np.zeros((F_local, spec.n_staged), dtype)
     padded[:, : spec.n] = frames_local
     run = _best_encoder()
     words, bits, maxw, over = jax.device_get(run(spec, padded))

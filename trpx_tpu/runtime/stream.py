@@ -377,7 +377,7 @@ class StreamingEncoder:
 
 
 def iter_decode(archive, dtype, chunk_frames: int = 256,
-                device: bool | None = None):
+                device: bool | None = None, fetch: bool = True):
     """Stream-decode an archive in chunks: yields (F_chunk, n) arrays.
 
     Pipelined: the device unpack of chunk *k* is dispatched asynchronously,
@@ -390,6 +390,15 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     is attached); True forces the device pipeline on the current jax
     backend (api.decompress's explicit ``device=True`` contract); False
     forces chunked host decode.
+
+    ``fetch=False`` (device pipeline only) yields ``(dev, nf)`` pairs
+    instead of host arrays: ``dev`` is the device-resident
+    (chunk_frames, n_padded) decode output (rows past ``nf`` are
+    padding, values past ``meta.number_of_values`` per row undefined),
+    not yet narrowed to ``dtype``. For consumers that keep the pixels on
+    device (training/analysis pipelines), this skips the device->host
+    copy entirely — the walk of chunk k+1 still overlaps the unpack of
+    chunk k.
     """
     import jax
     import jax.numpy as jnp
@@ -415,6 +424,9 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     from .. import api as _api
 
     if device is False or (device is None and not _api._accel_backend()):
+        if not fetch:
+            raise ValueError("fetch=False requires the device pipeline "
+                             "(device=True, or an attached accelerator)")
         # CPU-only backend: "overlapping the device" means racing jax's
         # XLA-CPU tree against the native codec on the same cores — the
         # native codec alone is ~100x faster there. Chunked host decode,
@@ -451,9 +463,11 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
                     [wc, np.zeros((C - nf, wc.shape[1]), wc.dtype)])
                 wd = np.concatenate(
                     [wd, np.zeros((C - nf, wd.shape[1]), wd.dtype)])
-            vals = np.asarray(
-                jax.device_get(decode_batch_device(spec, wc, wd))
-            )[:nf, :n]
+            fut = decode_batch_device(spec, wc, wd)
+            if not fetch:
+                yield fut, nf
+                continue
+            vals = np.asarray(jax.device_get(fut))[:nf, :n]
             yield narrow_values(vals, dtype)
         return
 
@@ -461,6 +475,37 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     buf = native.padded_buffer(archive.payload)
     payload_len = buf.shape[0] - native.SLACK
     pos = 0
+    # walk each archive exactly ONCE: cached tables (sidecar / earlier
+    # walk) make the chunk loop walk-free; otherwise the per-chunk walks
+    # accumulate into full tables attached to the archive at the end, so
+    # the CLI's default sidecar write is not a second full walk
+    # (ADVICE r4)
+    wtab = getattr(archive, "width_table", None)
+    fidx = getattr(archive, "frame_index", None)
+    have_tables = (wtab is not None and fidx is not None
+                   and len(fidx) == F and wtab.shape == (F, spec.nb))
+    if have_tables:
+        # prove sidecar tables against the header before walk-free
+        # chunking (stale/crafted sidecars fail; ops.coding.validate_tables)
+        from ..ops.coding import validate_tables
+
+        starts_all = np.asarray(fidx, np.int64)
+        ends_all = np.concatenate([starts_all[1:], [meta.memory_size]])
+        try:
+            validate_tables(spec, meta, wtab, starts_all, ends_all)
+        except ValueError as e:
+            from .._fallback import warn_once
+
+            warn_once("stream.sidecar_tables", e,
+                      "revalidating chunked header walk")
+            have_tables = False
+    acc_w = acc_off = None
+    if not have_tables:
+        try:
+            acc_w = np.empty((F, spec.nb), np.uint8)
+            acc_off = np.empty(F, np.int64)
+        except MemoryError:  # pragma: no cover - giant archives
+            acc_w = acc_off = None
     pending = None  # (device result, real frame count)
     sched = None    # running measured schedule across chunks
     # big frames (2K/4K): per-tile split kernels; join the tile schedule
@@ -472,14 +517,29 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     wt_max = 0
 
     def _drain(p):
+        if not fetch:
+            return p  # (device array, real frame count), un-narrowed
         vals = np.asarray(jax.device_get(p[0]))[: p[1], :n]
         return narrow_values(vals, dtype)
 
     for lo in range(0, F, C):
         nf = min(C, F - lo)
-        widths_c, _poffs_c, fstarts = native.walk_chunk(
-            buf, pos, nf, n, spec.block, max_width=meta.prolix_bits
-        )
+        if have_tables:
+            # walk-free chunk: slice the cached tables (fstarts stays
+            # chunk-relative, matching the walk branch)
+            end = (int(fidx[lo + nf]) if lo + nf < F
+                   else meta.memory_size)
+            fstarts = np.empty(nf + 1, np.int64)
+            fstarts[:nf] = np.asarray(fidx[lo : lo + nf], np.int64) - pos
+            fstarts[nf] = end - pos
+            widths_c = wtab[lo : lo + nf]
+        else:
+            widths_c, _poffs_c, fstarts = native.walk_chunk(
+                buf, pos, nf, n, spec.block, max_width=meta.prolix_bits
+            )
+            if acc_w is not None:
+                acc_w[lo : lo + nf] = widths_c
+                acc_off[lo : lo + nf] = pos + fstarts[:nf]
         sizes = fstarts[1:] - fstarts[:-1]
         # bucket the word capacity (pow2) to bound recompiles
         cap_words = 2
@@ -509,31 +569,49 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
             sched = (s_c if sched is None
                      else tuple(max(a, b) for a, b in zip(sched, s_c)))
         if tiled:
-            from ..ops.pallas_unpack import (
-                decode_batch_pallas_tiled,
-                tile_prepass,
-            )
+            # guarded like every other routing point: a Pallas import/
+            # lowering failure degrades to the jnp tree with a warning
+            # instead of raising out of the stream (ADVICE r4)
+            try:
+                from ..ops.pallas_unpack import (
+                    decode_batch_pallas_tiled,
+                    tile_prepass,
+                )
 
-            words_t, shift_c, prev0_c, s_c = tile_prepass(
-                spec, widths_p.astype(np.int32), words)
-            sched = (s_c if sched is None
-                     else tuple(max(a, b) for a, b in zip(sched, s_c)))
-            wt_max = max(wt_max, words_t.shape[2])
-            if words_t.shape[2] < wt_max:  # monotone window bucket
-                words_t = np.concatenate(
-                    [words_t,
-                     np.zeros((*words_t.shape[:2],
-                               wt_max - words_t.shape[2]), np.uint32)],
-                    axis=2)
-            fut = decode_batch_pallas_tiled(
-                spec, jnp.asarray(words_t),
-                jnp.asarray(widths_p.astype(np.int32)),
-                jnp.asarray(shift_c), jnp.asarray(prev0_c), False, sched)
-        else:
+                words_t, shift_c, prev0_c, s_c = tile_prepass(
+                    spec, widths_p.astype(np.int32), words)
+                sched = (s_c if sched is None
+                         else tuple(max(a, b) for a, b in zip(sched, s_c)))
+                wt_max = max(wt_max, words_t.shape[2])
+                if words_t.shape[2] < wt_max:  # monotone window bucket
+                    words_t = np.concatenate(
+                        [words_t,
+                         np.zeros((*words_t.shape[:2],
+                                   wt_max - words_t.shape[2]), np.uint32)],
+                        axis=2)
+                fut = decode_batch_pallas_tiled(
+                    spec, jnp.asarray(words_t),
+                    jnp.asarray(widths_p.astype(np.int32)),
+                    jnp.asarray(shift_c), jnp.asarray(prev0_c), False,
+                    sched)
+            except Exception as e:
+                from .._fallback import warn_once
+
+                warn_once("stream.tiled_decode", e,
+                          "jnp split tree for the tiled route")
+                tiled = False
+                sched = None  # tile schedule is not a whole-frame one
+        if not tiled:
             fut = run(spec, words, widths_p, None, sched)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)
         pos += int(fstarts[nf])
+    if acc_w is not None:
+        try:
+            archive.width_table = acc_w
+            archive.frame_index = acc_off
+        except AttributeError:  # pragma: no cover - slotted archives
+            pass
     if pending is not None:
         yield _drain(pending)
