@@ -23,6 +23,7 @@
 #include <algorithm>
 #include <vector>
 
+
 namespace {
 
 // ----------------------------------------------------------- bit writer ---
