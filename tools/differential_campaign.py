@@ -14,8 +14,14 @@ value distribution) and asserts:
   encoder's output (oracle shim, built on demand like tests/conftest).
 
 Usage:  python tools/differential_campaign.py [n_trials] [--device]
+        python tools/differential_campaign.py --smoke   (on the chip)
 Prints progress every 250 trials; exits nonzero on the first mismatch
 with a full repro (seed + parameters).
+
+--smoke runs the FIXED seeded trial list (SMOKE_TRIALS) on the device:
+the mandatory <2-minute gate after any kernel-structure change, covering
+every shape class in the round-4 regression ledger (S==1 grids, tiled,
+routing frontier, flagship). Wired first in tools/tpu_revalidate.sh.
 """
 
 from __future__ import annotations
@@ -102,15 +108,42 @@ DEVICE_SHAPES = [(1, 144, 12), (3, 144, 12), (2, 1000, 12), (4, 1000, 16),
                  (1, 1_048_576, 12)]
 
 
-def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
-    dtype = np.dtype(DTYPES[rng.integers(0, len(DTYPES))])
-    if fixed_shapes:
-        F, n, block = DEVICE_SHAPES[rng.integers(0, len(DEVICE_SHAPES))]
-    else:
-        F = int(rng.integers(1, 5))
-        n = int(rng.integers(1, 2000))
-        block = int(rng.choice([3, 7, 12, 12, 12, 16, 64]))
-    kind = rng.integers(0, 4)
+#: --smoke tier (VERDICT r4 weak #4): a FIXED, seeded, <2-minute device
+#: pass covering every shape class in the round-4 regression ledger —
+#: mandatory after ANY kernel-structure change (tools/tpu_revalidate.sh
+#: runs it first; interpret-mode suite green does NOT prove Mosaic
+#: lowering, see the S==1 sublane-roll episode, commit ffcb465).
+#: Columns: (dtype, F, n, block, kind, seed).
+SMOKE_TRIALS = [
+    # S==1 grid trap: n=4095 u32 hits C=128 at the phase-2 transition
+    (np.uint32, 1, 4095, 12, 1, 101),
+    (np.int32, 1, 4095, 12, 0, 102),
+    # flagship whole-frame kernels, multi-frame, hot pixels
+    (np.uint16, 4, 512 * 512, 12, 0, 103),
+    (np.int16, 2, 512 * 512, 12, 1, 104),
+    # tiled kernels on real hardware (u32/i32 exceed the VMEM budget)
+    (np.uint32, 1, 3_200_000, 12, 1, 105),
+    (np.int32, 1, 3_200_000, 12, 0, 106),
+    # routing frontier: untiled encode + tiled decode in one trip
+    (np.uint32, 1, 1_048_576, 12, 0, 107),
+    (np.uint32, 1, 1_048_576, 12, 2, 108),
+    # small shapes, both signedness, partial blocks, odd block sizes
+    (np.uint8, 3, 144, 12, 3, 109),
+    (np.uint16, 2, 1000, 12, 2, 110),
+    (np.int16, 2, 1000, 12, 1, 111),
+    (np.uint16, 4, 1000, 16, 0, 112),
+    (np.int8, 2, 4096, 12, 1, 113),
+    (np.uint32, 2, 4096, 12, 1, 114),
+    # repeat-header stress (constant/zero runs) on the frontier shapes
+    (np.uint32, 1, 3_200_000, 12, 2, 115),
+    (np.uint16, 4, 512 * 512, 12, 2, 116),
+    # ramps crossing block boundaries
+    (np.uint32, 2, 4096, 12, 3, 117),
+    (np.uint16, 2, 512 * 512, 12, 3, 118),
+]
+
+
+def _gen_values(dtype, F, n, kind, rng):
     info = np.iinfo(dtype)
     # generate in int64 then clip into an int64-SAFE window of the dtype
     # (uint64's full range overflows int64; 2^62 still exercises >32-bit
@@ -127,17 +160,29 @@ def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
         v[:, :: max(1, n // 7)] = int(rng.integers(0, 100))
     else:  # block-boundary ramps
         v = (np.arange(F * n).reshape(F, n) % 97).astype(np.int64)
-    v = np.clip(v, lo, hi).astype(dtype)
-    return v, block
+    return np.clip(v, lo, hi).astype(dtype)
+
+
+def _rand_frames(rng: np.random.Generator, fixed_shapes: bool = False):
+    dtype = np.dtype(DTYPES[rng.integers(0, len(DTYPES))])
+    if fixed_shapes:
+        F, n, block = DEVICE_SHAPES[rng.integers(0, len(DEVICE_SHAPES))]
+    else:
+        F = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 2000))
+        block = int(rng.choice([3, 7, 12, 12, 12, 16, 64]))
+    kind = int(rng.integers(0, 4))
+    return _gen_values(dtype, F, n, kind, rng), block
 
 
 def main() -> int:
     use_device = "--device" in sys.argv
+    smoke = "--smoke" in sys.argv
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_trials = int(pos[0]) if pos else 1000
+    n_trials = len(SMOKE_TRIALS) if smoke else (int(pos[0]) if pos else 1000)
     have_oracle = _build_oracle()
     have_native = native.available()
-    if use_device:
+    if use_device or smoke:
         # env alone loses the backend race to TPU plugins on some boxes;
         # pin via jax.config BEFORE anything initializes a backend
         import jax
@@ -145,12 +190,18 @@ def main() -> int:
         jax.config.update(
             "jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu") or "cpu")
         from trpx_tpu import ops
+        use_device = True
     rng_master = np.random.default_rng(int(os.environ.get("SEED", 2026)))
     oracle_checked = 0
     for t in range(n_trials):
-        seed = int(rng_master.integers(0, 2**31))
-        rng = np.random.default_rng(seed)
-        vals, block = _rand_frames(rng, fixed_shapes=use_device)
+        if smoke:
+            dt, F, n, block, kind, seed = SMOKE_TRIALS[t]
+            rng = np.random.default_rng(seed)
+            vals = _gen_values(np.dtype(dt), F, n, kind, rng)
+        else:
+            seed = int(rng_master.integers(0, 2**31))
+            rng = np.random.default_rng(seed)
+            vals, block = _rand_frames(rng, fixed_shapes=use_device)
         ctx = f"trial {t} seed {seed} dtype {vals.dtype} F,n={vals.shape} block {block}"
         try:
             ref = pycodec.encode(list(vals), block=block)

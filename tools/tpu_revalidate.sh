@@ -4,6 +4,8 @@
 # Usage: bash tools/tpu_revalidate.sh [quick]
 set -e
 cd "$(dirname "$0")/.."
+echo "=== seeded device smoke (mandatory kernel-change gate) ==="
+timeout 1800 python tools/differential_campaign.py --smoke
 echo "=== size matrix (byte-exactness across routing paths) ==="
 timeout 1800 python tools/tpu_size_matrix.py
 if [ "$1" != "quick" ]; then
