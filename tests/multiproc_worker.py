@@ -37,6 +37,51 @@ def main() -> int:
     from trpx_tpu.parallel import ShardedCodec, default_mesh
     from trpx_tpu.parallel.distributed import write_shard_file
 
+    stream_chunk = os.environ.get("TRPX_TEST_STREAM_CHUNK")
+    if stream_chunk is not None:
+        # streaming x distributed composition (VERDICT r4 ask #7):
+        # chunked collective encode into ONE shared file via
+        # StreamingShardEncoder, resumable mid-stream from the manifest
+        C = int(stream_chunk)               # global frames per chunk
+        F_global, n = 32, 512 * 512
+        rng = np.random.default_rng(321)
+        frames = rng.poisson(3.0, size=(F_global, n)).astype(np.uint16)
+        frames[rng.random((F_global, n)) < 1e-4] = 60000
+        spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.5)
+        codec = ShardedCodec(spec, default_mesh())
+        from trpx_tpu.parallel.distributed import StreamingShardEncoder
+
+        enc = StreamingShardEncoder(outfile, codec, np.uint16)
+        stop_after = os.environ.get("TRPX_TEST_STOP_AFTER_CHUNKS")
+        crash_pid = os.environ.get("TRPX_TEST_CRASH_PID")
+        done = 0
+        lo = enc.frames_done                 # resume point
+        done = lo // C
+        while lo < F_global:
+            hi = min(F_global, lo + C)
+            Fl = (hi - lo) // nproc
+            enc.add_chunk(frames[lo + pid * Fl : lo + (pid + 1) * Fl],
+                          hi - lo)
+            lo = hi
+            done += 1
+            if stop_after is not None and done >= int(stop_after):
+                # mid-stream preemption: the designated pid dies HARD
+                # right after the checkpoint barrier; the rest also exit
+                # without any teardown (a preempted cluster never runs
+                # the shutdown barrier — os._exit skips atexit, whose
+                # distributed shutdown would otherwise fail on the dead
+                # peer and pollute the exit code)
+                if crash_pid is not None and int(crash_pid) == pid:
+                    os._exit(3)
+                sys.stdout.flush()
+                os._exit(0)
+        enc.finalize()
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("trpx-stream-final")
+        jax.distributed.shutdown()
+        return 0
+
     # every process derives the SAME global input deterministically and
     # feeds only its own slice (a real ingest pipeline would read its
     # slice of the stack from shared storage)

@@ -167,3 +167,77 @@ def test_recover_shard_staged_shape(tmp_path):
 
     got = np.asarray(api.decompress(str(out), dtype=np.uint16))
     np.testing.assert_array_equal(got.reshape(F, n), frames)
+
+
+def test_streaming_shard_resume(tmp_path):
+    """Streaming x distributed composition (VERDICT r4 ask #7): two
+    processes x 4 devices stream 32x512^2 frames in 8-frame chunks into
+    ONE shared file via StreamingShardEncoder; a mid-stream kill (hard
+    os._exit right after the chunk-2 checkpoint) loses nothing past the
+    manifest; the relaunched cluster resumes from frames_done, overwrites
+    an injected torn tail idempotently, finalizes, and the result is
+    byte-identical to the single-host native encoder."""
+    import json
+
+    from trpx_tpu.native import codec as ncodec
+
+    nproc = 2
+    port = _free_port()
+    out = tmp_path / "movie.trpx"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(WORKER.parent.parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    env["TRPX_TEST_STREAM_CHUNK"] = "8"
+
+    def launch(extra):
+        e = dict(env)
+        e.update(extra)
+        p = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(WORKER), str(p), str(nproc), str(pid),
+                 str(out)],
+                env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for pid in range(nproc)
+        ]
+        return procs, [pr.communicate(timeout=540) for pr in procs]
+
+    # run 1: preempted after 2 chunks; pid 1 dies hard (os._exit(3))
+    procs, outs = launch({"TRPX_TEST_STOP_AFTER_CHUNKS": "2",
+                          "TRPX_TEST_CRASH_PID": "1"})
+    assert procs[0].returncode == 0, f"coordinator:\n{outs[0][1]}"
+    assert procs[1].returncode == 3, f"crash pid:\n{outs[1][1]}"
+    man = json.loads((tmp_path / "movie.trpx.manifest").read_text())
+    assert man["frames_done"] == 16
+    assert not out.exists()
+
+    # torn tail: garbage bytes exactly where chunk 3 will land
+    with open(tmp_path / "movie.trpx.part", "r+b") as f:
+        f.seek(man["payload_bytes"])
+        f.write(b"\xde\xad" * 50_000)
+
+    # run 2: resume (no stop/crash) -> completes and finalizes
+    procs, outs = launch({})
+    for pr, (o, e) in zip(procs, outs):
+        assert pr.returncode == 0, f"resume failed:\n{o}\n{e}"
+    assert out.exists()
+    assert not (tmp_path / "movie.trpx.part").exists()
+    assert not (tmp_path / "movie.trpx.manifest").exists()
+
+    rng = np.random.default_rng(321)
+    F, n = 32, 512 * 512
+    frames = rng.poisson(3.0, size=(F, n)).astype(np.uint16)
+    frames[rng.random((F, n)) < 1e-4] = 60000
+    ref = ncodec.encode(frames).to_bytes()
+    assert out.read_bytes() == ref
+
+    got = ncodec.decode(pycodec.TrpxArchive.from_bytes(out.read_bytes()),
+                        np.uint16)
+    np.testing.assert_array_equal(np.asarray(got), frames)

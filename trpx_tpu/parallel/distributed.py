@@ -153,6 +153,168 @@ def _real_total(result: ShardResult, n_frames: int) -> int:
     return int(result.offsets[n_frames - 1] + result.nbytes[n_frames - 1])
 
 
+# ------------------------------------------- streaming x distributed ---
+
+
+class StreamingShardEncoder:
+    """Multi-process CHUNKED encode into one shared ``.trpx`` — the
+    composition of the streaming layer (runtime/stream.StreamingEncoder:
+    chunked append + manifest resume) with the distributed layer
+    (ShardedCodec.encode_shards: collective size tables + per-host
+    pwrite). The reference has neither (SURVEY §2/§5).
+
+    Every process feeds its slice of each chunk to :meth:`add_chunk`
+    (collective — all processes must call it the same number of times
+    with equal local frame counts). The replicated size table places
+    each frame's bytes at absolute offsets in the shared ``.part`` file;
+    each host pwrites only its own frames. The coordinator checkpoints a
+    manifest AFTER a cross-process barrier confirms the chunk's writes
+    are durable, so a crash at ANY point loses at most the un-checkpointed
+    chunk: re-encoding it is idempotent (same bytes at the same offsets).
+
+    Resume: reconstruct on the same path in every process and restart
+    feeding from ``frames_done``. Finalize (coordinator) assembles
+    header + payload and removes the temporaries.
+    """
+
+    def __init__(self, path, codec, dtype, dimensions: tuple[int, ...] = (),
+                 sync_every_chunk: bool = True) -> None:
+        from pathlib import Path
+
+        from ..runtime.stream import _Manifest
+
+        self.codec = codec
+        self.dtype = np.dtype(dtype)
+        self.path = Path(path)
+        self.part = self.path.with_name(self.path.name + ".part")
+        self.part_idx = self.path.with_name(self.path.name + ".part.idx")
+        self.manifest_path = self.path.with_name(self.path.name + ".manifest")
+        self.sync_every_chunk = sync_every_chunk
+        self.dimensions = tuple(dimensions)
+        try:
+            import jax
+
+            self.is_coordinator = jax.process_index() == 0
+        except Exception:
+            self.is_coordinator = True
+        spec = codec.spec
+        if self.manifest_path.exists():
+            m = _Manifest.load(self.manifest_path)
+            if (m.dtype, m.nvalues, m.block) != (self.dtype.str, spec.n,
+                                                 spec.block):
+                raise ValueError(
+                    "existing manifest does not match this configuration")
+            self.m = m
+            if self.is_coordinator:
+                # drop torn bytes past the checkpoint (idempotent pwrites
+                # will rewrite any re-encoded chunk at the same offsets)
+                for p, need in ((self.part, m.payload_bytes),
+                                (self.part_idx, 8 * m.frames_done)):
+                    if not p.exists() or p.stat().st_size < need:
+                        raise FileNotFoundError(
+                            f"manifest checkpoints {need} bytes but {p} is "
+                            "missing/short; remove the manifest to restart")
+        else:
+            self.m = _Manifest(
+                dtype=self.dtype.str, nvalues=spec.n, block=spec.block,
+                signed=spec.signed, dimensions=list(self.dimensions),
+                frames_done=0, payload_bytes=0, prolix_bits=0,
+            )
+            if self.is_coordinator:
+                for p in (self.part, self.part_idx):
+                    with open(p, "wb"):
+                        pass
+                self.m.save(self.manifest_path)
+        self._barrier("trpx-stream-shard-init")
+
+    def _barrier(self, tag: str) -> None:
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(
+                    f"{tag}-{self.m.frames_done}")
+        except Exception:
+            pass
+
+    @property
+    def frames_done(self) -> int:
+        return self.m.frames_done
+
+    def add_chunk(self, frames_local: np.ndarray, n_frames_chunk: int) -> None:
+        """Collective: encode one global chunk (this process contributes
+        ``frames_local``, its contiguous slice in global frame order) and
+        pwrite this host's frames into the shared part file."""
+        res = self.codec.encode_shards(frames_local, n_frames_chunk)
+        base = self.m.payload_bytes
+        total = _real_total(res, n_frames_chunk)
+        words = np.ascontiguousarray(res.words)
+        byte_view = words.view(np.uint8).reshape(words.shape[0], -1)
+        fd = os.open(self.part, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            for i, f in enumerate(range(res.frame_lo,
+                                        min(res.frame_hi, n_frames_chunk))):
+                nb = int(res.nbytes[f])
+                os.pwrite(fd, byte_view[i, :nb].tobytes(),
+                          base + int(res.offsets[f]))
+            if self.sync_every_chunk:
+                os.fsync(fd)
+        finally:
+            os.close(fd)
+        # every host's bytes must be durable BEFORE the checkpoint claims
+        # the chunk done (crash after the barrier re-encodes nothing;
+        # crash before it re-encodes the whole chunk idempotently)
+        self._barrier("trpx-stream-shard-chunk")
+        if self.is_coordinator:
+            offs = (base + res.offsets[:n_frames_chunk]).astype("<u8")
+            with open(self.part_idx, "r+b") as f:
+                f.seek(8 * self.m.frames_done)
+                f.write(offs.tobytes())
+                if self.sync_every_chunk:
+                    f.flush()
+                    os.fsync(f.fileno())
+        self.m.frames_done += n_frames_chunk
+        self.m.payload_bytes += total
+        self.m.prolix_bits = max(self.m.prolix_bits, int(res.prolix_bits))
+        if self.is_coordinator:
+            self.m.save(self.manifest_path)
+        self._barrier("trpx-stream-shard-ckpt")
+
+    def meta(self) -> TrpxMeta:
+        return meta_for(
+            self.codec.spec, self.m.frames_done, self.m.payload_bytes,
+            self.m.prolix_bits, tuple(self.m.dimensions))
+
+    def finalize(self):
+        """Coordinator: assemble header + payload into ``path`` and drop
+        the temporaries; other processes just barrier. Returns the path."""
+        self._barrier("trpx-stream-shard-final")
+        if self.is_coordinator:
+            header = emit_header(self.meta())
+            tmp = self.path.with_name(self.path.name + ".tmp")
+            with open(tmp, "wb") as out, open(self.part, "rb") as part:
+                out.write(header)
+                remaining = self.m.payload_bytes
+                while remaining:
+                    buf = part.read(min(remaining, 1 << 24))
+                    if not buf:
+                        raise OSError("part file shorter than the manifest")
+                    out.write(buf[:remaining])
+                    remaining -= min(len(buf), remaining)
+                out.flush()
+                os.fsync(out.fileno())
+            os.replace(tmp, self.path)
+            for p in (self.part, self.part_idx, self.manifest_path):
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+        self._barrier("trpx-stream-shard-done")
+        return self.path
+
+
 # ------------------------------------------------------- elastic recovery ---
 
 
