@@ -146,7 +146,7 @@ def _pipelined_foreign(jax, jnp, arch, dtype, F, C, reps):
         chks = []
         for dev, nf in iter_decode(cold, dtype, chunk_frames=C,
                                    device=True, fetch=False):
-            chks.append(dev[0, 0].astype(jnp.int32))
+            chks.append(dev[(0,) * dev.ndim].astype(jnp.int32))
         int(jnp.stack(chks).sum())  # materialize: drains the pipeline
         return time.perf_counter() - t0
 
@@ -269,13 +269,17 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
             chk = jnp.uint32(0)
             for i in range(chain):
                 if use_pallas_dec:
+                    # block-layout (F, Lr, R*B) return (no on-device
+                    # flatten relayout; hosts flatten after the fetch)
                     o = decode_batch_pallas(spec, a[2 * i], a[2 * i + 1],
                                             False, ratio)
+                    chk = (chk + jnp.uint32(o[0, 0, 0])
+                           + jnp.uint32(o[-1, -1, -1]))
                 else:
                     o = decode_batch_device(spec, a[2 * i],
                                             a[2 * i + 1].astype(jnp.int32),
                                             None)
-                chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+                    chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
             return chk
         return step
 
@@ -385,7 +389,8 @@ def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
                 wt, wd, sh, pv = a[4 * i: 4 * i + 4]
                 o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv,
                                               False, ratio)
-                chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+                chk = (chk + jnp.uint32(o[0, 0, 0, 0])
+                       + jnp.uint32(o[-1, -1, -1, -1]))
             return chk
         return step
 

@@ -168,7 +168,8 @@ def test_choose_schedule_decode_exact_interpret():
                 spec, jnp.asarray(words), jnp.asarray(widths), True, sched
             )
         )
-    )[:, :n]
+    )
+    out = out.reshape(out.shape[0], -1)[:, :n]
     assert np.array_equal(out.astype(np.uint16), fr)
 
 
@@ -201,7 +202,8 @@ def test_measured_schedule_dtypes_interpret(dt, hot):
                 spec, jnp.asarray(words), jnp.asarray(widths), True, sched
             )
         )
-    )[:, :n]
+    )
+    out = out.reshape(out.shape[0], -1)[:, :n]
     assert np.array_equal(out.astype(dt), fr)
 
 

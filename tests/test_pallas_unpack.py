@@ -56,4 +56,5 @@ def test_interpret_i8_pair_fusing():
     out = jax.device_get(pallas_unpack.decode_batch_pallas(
         spec, jnp.asarray(words), jnp.asarray(widths), True))
     np.testing.assert_array_equal(
-        narrow_values(np.asarray(out)[:, :500], np.dtype(np.int8)), frames)
+        narrow_values(pallas_unpack.flatten_decoded(out, 500),
+                      np.dtype(np.int8)), frames)

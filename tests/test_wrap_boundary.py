@@ -91,7 +91,8 @@ def test_dense_alternating_decode_roundtrip(n, dtype, w_hi, w_lo):
         widths, _p, words = walk_archive(arch, spec)
         raw = jax.device_get(pallas_unpack.decode_batch_pallas(
             spec, jnp.asarray(words), jnp.asarray(widths), True, 1.0))
-        got = narrow_values(np.asarray(raw)[:, :n], np.dtype(dtype))
+        got = narrow_values(pallas_unpack.flatten_decoded(raw, n),
+                            np.dtype(dtype))
         np.testing.assert_array_equal(got, frames)
 
 

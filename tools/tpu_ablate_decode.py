@@ -109,8 +109,8 @@ def main():
                     # two-corner consume: the pallas output is fully
                     # materialized regardless; the old strided checksum
                     # (o[:, ::4096]) cost ~1.4 ms of DMA gather per call
-                    chk = (chk + jnp.uint32(o[0, 0])
-                           + jnp.uint32(o[-1, -1]))
+                    chk = (chk + jnp.uint32(o[(0,) * o.ndim])
+                           + jnp.uint32(o[(-1,) * o.ndim]))
                 return chk
             return step
 

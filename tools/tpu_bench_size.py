@@ -120,7 +120,8 @@ def main():
         @jax.jit
         def dec_sum(wb, wd):
             o = decode_batch_pallas(spec, wb, wd, False, r)
-            return jnp.uint32(jnp.sum(o[:, ::65536])) + jnp.uint32(o[-1, -1])
+            return (jnp.uint32(o[(0,) * o.ndim])
+                    + jnp.uint32(o[(-1,) * o.ndim]))
 
         t_dec = measure(dec_sum, wb, wd)
     else:
@@ -136,7 +137,8 @@ def main():
         @jax.jit
         def dec_sum(wt, wd, sh, pv):
             o = decode_batch_pallas_tiled(spec, wt, wd, sh, pv, False, r)
-            return jnp.uint32(jnp.sum(o[:, ::65536])) + jnp.uint32(o[-1, -1])
+            return (jnp.uint32(o[(0,) * o.ndim])
+                    + jnp.uint32(o[(-1,) * o.ndim]))
 
         t_dec = measure(dec_sum, wt, wd, sh, pv)
     print(f"decode: {F / t_dec:,.1f} fps  {F * raw / t_dec / 1e9:.1f} GB/s "

@@ -119,7 +119,8 @@ def main():
                 for i in range(chain):
                     o = decode_batch_pallas(spec, a[2 * i], a[2 * i + 1],
                                             False, ratio)
-                    chk = chk + jnp.uint32(o[0, 0]) + jnp.uint32(o[-1, -1])
+                    chk = (chk + jnp.uint32(o[(0,) * o.ndim])
+                           + jnp.uint32(o[(-1,) * o.ndim]))
                 return chk
             return step
 

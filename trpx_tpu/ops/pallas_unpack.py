@@ -566,7 +566,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     widths: (F, nb) int32 or uint8 — per-block widths from the header
             walk (uint8 preferred: widths are <= 73, and the narrow
             table is 1/4 the H2D + HBM->VMEM traffic)
-    Returns (F, n_padded) int32 values (sign-extended iff spec.signed).
+    Returns the kernel's (F, Lr, R*B) block layout (uint16 for unsigned
+    <=16-bit targets, else int32, sign-extended iff spec.signed) —
+    flatten host-side with :func:`flatten_decoded`.
     """
     F, W = words.shape
     B = spec.block
@@ -622,8 +624,12 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
         ),
         interpret=interpret,
     )(words.reshape(F, w_pad // 128, 128), wplanes)
-    # the kernel emits the natural layout: reshape is free
-    return out.reshape(F, Lr * R * B)[:, : spec.n_padded]
+    # return the kernel's OWN (F, Lr, R*B) block layout: flattening
+    # on-device costs a full relayout+copy of the output (the lane
+    # dimension changes and the n_padded slice is tile-unaligned —
+    # measured 8% of the whole decode, round 5). Hosts flatten for free
+    # after the fetch (flatten_decoded); row-major bytes are identical.
+    return out
 
 
 #: blocks per tile for big-frame decodes — matches pallas_pack.TILE_BLOCKS
@@ -734,7 +740,8 @@ def decode_batch_pallas_tiled(
     widths:  (F, nb) int32 — per-block widths from the header walk
     shift:   (F, T) int32 — bit offset of each tile's stream in its window
     prev0:   (F, T) int32 — previous tile's last block width
-    Returns (F, n_padded) int32 values (sign-extended iff spec.signed).
+    Returns the kernel's (F, T, L, R*B) block layout (uint16/int32 as
+    in decode_batch_pallas) — flatten host-side with flatten_decoded.
     """
     F, T, Wt = words_t.shape
     B = spec.block
@@ -787,8 +794,9 @@ def decode_batch_pallas_tiled(
         ),
         interpret=interpret,
     )(words_t.reshape(F, T, w_pad // 128, 128), wplanes, shift, prev0)
-    # the kernel emits the natural layout: reshape is free
-    return out.reshape(F, T * Tb * B)[:, : spec.n_padded]
+    # (F, T, L, R*B) kernel block layout — see decode_batch_pallas's
+    # return note; flatten host-side via flatten_decoded
+    return out
 
 
 def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
@@ -801,6 +809,16 @@ def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
         spec, jnp.asarray(words_t), jnp.asarray(widths),
         jnp.asarray(shift), jnp.asarray(prev0), interpret, ratio, Tb
     )
+
+
+def flatten_decoded(out, n: int) -> np.ndarray:
+    """Host-side (F, n) view of a decode kernel's block-layout output
+    ((F, Lr, R*B) whole-frame / (F, T, L, R*B) tiled / (F, cols) jnp
+    tree). The numpy reshape is free — row-major fetched bytes ARE the
+    natural value order; doing this flatten on-device instead costs a
+    full relayout+copy of the output (measured 8% of decode)."""
+    out = np.asarray(out)
+    return out.reshape(out.shape[0], -1)[:, :n]
 
 
 def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
@@ -817,5 +835,5 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
                                   jnp.asarray(widths), interpret, sched)
     else:
         out = decode_tiled_host(spec, words, widths, interpret)
-    vals = np.asarray(jax.device_get(out))[:, : meta.number_of_values]
+    vals = flatten_decoded(jax.device_get(out), meta.number_of_values)
     return narrow_values(vals, dtype)

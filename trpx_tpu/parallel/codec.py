@@ -322,7 +322,12 @@ def _decode_sharded_jit(spec, mesh, words, widths, ratio=1.0):
     decoder = _best_decoder()  # Pallas split tree on TPU, jnp on CPU
 
     def local(words_l, widths_l):
-        return decoder(spec, words_l, widths_l, None, ratio=ratio)
+        out = decoder(spec, words_l, widths_l, None, ratio=ratio)
+        # Pallas decoders return their block layout; shard_map's rank-2
+        # out_specs need the flat view, so THIS path pays the on-device
+        # flatten relayout (the single-chip paths flatten for free on
+        # the host after the fetch — pallas_unpack.flatten_decoded)
+        return out.reshape(out.shape[0], -1)
 
     return shard_map(
         local,

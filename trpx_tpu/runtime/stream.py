@@ -392,13 +392,15 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     forces chunked host decode.
 
     ``fetch=False`` (device pipeline only) yields ``(dev, nf)`` pairs
-    instead of host arrays: ``dev`` is the device-resident
-    (chunk_frames, n_padded) decode output (rows past ``nf`` are
-    padding, values past ``meta.number_of_values`` per row undefined),
-    not yet narrowed to ``dtype``. For consumers that keep the pixels on
-    device (training/analysis pipelines), this skips the device->host
-    copy entirely — the walk of chunk k+1 still overlaps the unpack of
-    chunk k.
+    instead of host arrays: ``dev`` is the device-resident decode output
+    in the kernel's own block layout (leading axis = chunk_frames; rows
+    past ``nf`` are padding; flattening the trailing axes row-major
+    gives the values, of which the first ``meta.number_of_values`` per
+    frame are real — ops.pallas_unpack.flatten_decoded does this for a
+    fetched copy), not yet narrowed to ``dtype``. For consumers that
+    keep the pixels on device (training/analysis pipelines), this skips
+    the device->host copy entirely — the walk of chunk k+1 still
+    overlaps the unpack of chunk k.
     """
     import jax
     import jax.numpy as jnp
@@ -519,7 +521,10 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     def _drain(p):
         if not fetch:
             return p  # (device array, real frame count), un-narrowed
-        vals = np.asarray(jax.device_get(p[0]))[: p[1], :n]
+        out = np.asarray(jax.device_get(p[0]))
+        # Pallas decoders return block layouts ((C, Lr, R*B) whole-frame
+        # / (C, T, L, R*B) tiled); the host flatten is free
+        vals = out.reshape(out.shape[0], -1)[: p[1], :n]
         return narrow_values(vals, dtype)
 
     for lo in range(0, F, C):
