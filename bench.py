@@ -180,6 +180,11 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
     try:
         from trpx_tpu.ops.pallas_pack import encode_batch_pallas
 
+        # stage the chain inputs in the kernel's natural (F, Lr, R*B)
+        # layout ONCE (outside timing): the in-jit 2-D->3-D reshape is a
+        # full relayout copy per chained call (round 5)
+        rb = (spec.tree_rows // min(128, spec.tree_rows)) * spec.block
+        xs = [jax.block_until_ready(x.reshape(F, -1, rb)) for x in xs]
         enc = lambda fr: encode_batch_pallas(spec, fr)
         _, _, _, over0 = jax.device_get(enc(xs[0]))
         assert not bool(np.any(over0)), "soft capacity overflowed"
@@ -189,7 +194,7 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
         kernel_name = "jnp-tree"
         from trpx_tpu.ops.coding import encode_batch_device
 
-        xs = [x[:, : spec.n_padded] for x in xs]
+        xs = [x.reshape(F, -1)[:, : spec.n_padded] for x in xs]
         enc = lambda fr: encode_batch_device(spec, fr)
 
     def mk_enc(chain):
@@ -198,8 +203,10 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
             chk = jnp.uint32(0)
             for i in range(chain):
                 words, bits, maxw, over = enc(a[i])
-                chk = (chk + jnp.uint32(bits.sum()) + words[0, 0]
-                       + words[-1, -1] + jnp.uint32(over.sum()))
+                chk = (chk + jnp.uint32(bits.sum())
+                       + words[(0,) * words.ndim]
+                       + words[(-1,) * words.ndim]
+                       + jnp.uint32(over.sum()))
             return chk
         return step
 
@@ -341,7 +348,7 @@ def bench_big(jax, jnp, reps, edge=2048, F=32, n1=1, n2=5):
                 # contract, words past a frame's 1 + bits//8 bytes are
                 # UNSPECIFIED (rows past the last DMA window are never
                 # written), so w[-1, -1] would read uninitialized HBM
-                chk = (chk + jnp.uint32(b.sum()) + w[0, 0]
+                chk = (chk + jnp.uint32(b.sum()) + w[(0,) * w.ndim]
                        + jnp.uint32(m.max()) + jnp.uint32(o.sum()))
             return chk
         return step

@@ -82,7 +82,7 @@ def main():
                 for i in range(chain):
                     w, b, m, o = encode_batch_pallas(spec, arrs[i],
                                                      False, c)
-                    chk = (chk + jnp.uint32(b.sum()) + w[0, 0]
+                    chk = (chk + jnp.uint32(b.sum()) + w[(0,) * w.ndim]
                            + jnp.uint32(o.sum()))
                 return chk
             return step

@@ -103,7 +103,7 @@ def main() -> int:
             chk = jnp.uint32(0)
             for i in range(chain):
                 w, b, m, o = encode_batch_pallas(mspec, a[i])
-                chk = chk + jnp.uint32(b.sum()) + w[0, 0]
+                chk = chk + jnp.uint32(b.sum()) + w[(0,) * w.ndim]
             return chk
         return step
 

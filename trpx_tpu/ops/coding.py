@@ -459,6 +459,16 @@ def _best_encoder():
                     # the Pallas layouts need a full 128-lane row
                     return encode_batch_device(spec, frames)
                 if spec.pallas_ok:
+                    if (isinstance(frames, np.ndarray) and frames.ndim == 2
+                            and frames.shape[1] == spec.n_staged
+                            and frames.flags.c_contiguous):
+                        # free host reshape into the kernel's natural
+                        # layout (_pad_batch emits exactly n_staged): the
+                        # in-jit reshape is a full relayout copy on TPU
+                        # (pallas_pack.stage_natural)
+                        from .pallas_pack import stage_natural
+
+                        frames = stage_natural(spec, frames)
                     return encode_batch_pallas(spec, frames)
                 # big frames (2K/4K detectors): per-tile VMEM packs +
                 # a small jnp merge of the tile streams

@@ -633,6 +633,17 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
         in_spec = pl.BlockSpec((1, B, R, L), lambda f: (f, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         natural = False
+    elif frames.ndim == 3:
+        # NATURAL KERNEL layout (F, Lr, R*B), staged by the host
+        # (stage_natural — a free numpy reshape): the in-jit 2-D->3-D
+        # reshape below is NOT free on TPU (the lane dimension changes,
+        # forcing a relayout copy of the whole batch — measured ~0.3 ms
+        # /256 u16 frames, round 5)
+        x = frames
+        in_spec = pl.BlockSpec((1, frames.shape[1], R * B),
+                               lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM)
+        natural = True
     else:
         # NATURAL layout: a free metadata reshape — the kernel transposes
         # in VMEM (one 2-D transpose; the old XLA-side materialized
@@ -677,10 +688,27 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
         ),
         interpret=interpret,
     )(x)
-    words = words.reshape(F, ow_pad)
+    # return the kernel's OWN (F, S, 128) word grid: flattening to
+    # (F, out_words) on-device costs a relayout+copy (lane dimension
+    # changes + unaligned slice — the decode-side twin measured 8%,
+    # round 5). Row-major bytes ARE the stream; hosts flatten for free
+    # (assemble_archive and the stream writers already reshape by
+    # shape[0]). The three per-frame scalars ride the final row's last
+    # lanes (see _kernel) and slice out without touching the grid.
     wi = jax.lax.bitcast_convert_type(words, jnp.int32)
-    return (words[:, :out_words],
-            wi[:, ow_pad - 3], wi[:, ow_pad - 2], wi[:, ow_pad - 1])
+    return (words, wi[:, -1, 125], wi[:, -1, 126], wi[:, -1, 127])
+
+
+def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
+    """Free host-side view of a padded (F, n_staged) batch in the encode
+    kernel's (F, Lr, R*B) natural layout (see encode_batch_pallas's
+    3-D input path). No copy: numpy reshape of a C-contiguous array."""
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    B = spec.block
+    Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
+    return frames.reshape(frames.shape[0], Lr, R * B)
 
 
 def encode(

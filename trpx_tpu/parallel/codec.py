@@ -73,6 +73,11 @@ def _encode_sharded_jit(spec: FrameSpec, mesh: Mesh, frames: jax.Array):
 
     def local_encode(frames_local):
         words, bits, maxw, over = encoder(spec, frames_local)
+        if words.ndim == 3:
+            # Pallas encoder returns its (F, S, 128) word grid; this
+            # path's rank-2 out_specs pay the on-device flatten (the
+            # single-chip paths keep the grid and flatten host-free)
+            words = words.reshape(words.shape[0], -1)
         nbytes_local = 1 + bits // 8  # Terse.hpp:547 terminal-byte rule
         # the one collective: all-gather the per-frame size table; every
         # device (and every process) then holds the replicated global
