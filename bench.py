@@ -248,6 +248,8 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
 
     # decode args for every chained batch (distinct inputs defeat CSE);
     # uint8 width tables (widths <= 73): 1/4 the H2D traffic
+    from trpx_tpu.ops.pallas_unpack import stage_decode_inputs
+
     wbs, wds = [], []
     for s in range(n2):
         if s == 0:
@@ -261,9 +263,12 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
     Wmax = max(w.shape[1] for w in wbs)
     dargs = []
     for w, d in zip(wbs, wds):
-        dargs.append(jax.block_until_ready(jnp.asarray(
-            np.pad(w, ((0, 0), (0, Wmax - w.shape[1]))))))
-        dargs.append(jax.block_until_ready(jnp.asarray(d)))
+        # staged in the kernel layouts (host-side, free): one compiled
+        # shape across batches, no in-jit pad/reshape relayouts
+        w3, d3 = stage_decode_inputs(
+            spec, np.pad(w, ((0, 0), (0, Wmax - w.shape[1]))), d)
+        dargs.append(jax.block_until_ready(jnp.asarray(w3)))
+        dargs.append(jax.block_until_ready(jnp.asarray(d3)))
 
     # consume TWO corners only: the pallas_call materializes its full
     # output regardless, and a strided checksum slice (o[:, ::4096])

@@ -109,12 +109,15 @@ def main():
                 ratio = choose_schedule(spec, widths)
             wbs.append(wbuf)
             wds.append(widths.astype(np.uint8))
+        from trpx_tpu.ops.pallas_unpack import stage_decode_inputs
+
         Wmax = max(w.shape[1] for w in wbs)
         args = []
         for w, d in zip(wbs, wds):
-            args.append(jax.block_until_ready(jnp.asarray(
-                np.pad(w, ((0, 0), (0, Wmax - w.shape[1]))))))
-            args.append(jax.block_until_ready(jnp.asarray(d)))
+            w3, d3 = stage_decode_inputs(
+                spec, np.pad(w, ((0, 0), (0, Wmax - w.shape[1]))), d)
+            args.append(jax.block_until_ready(jnp.asarray(w3)))
+            args.append(jax.block_until_ready(jnp.asarray(d3)))
 
         def mk_dec(chain):
             @jax.jit

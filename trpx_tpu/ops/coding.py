@@ -838,9 +838,16 @@ def _best_decoder():
                             choose_schedule(spec, widths)
                             if isinstance(widths, np.ndarray) else 1.0
                         )
-                    if isinstance(widths, np.ndarray):
-                        # widths are <= 73, so uint8 tables are lossless
-                        # and 1/4 the H2D + HBM->VMEM traffic
+                    if (isinstance(widths, np.ndarray)
+                            and isinstance(words, np.ndarray)):
+                        # u8 width planes (1/4 the DMA) + both inputs
+                        # staged in the kernel layouts host-side: the
+                        # in-jit pads/reshapes are relayout copies
+                        from .pallas_unpack import stage_decode_inputs
+
+                        words, widths = stage_decode_inputs(
+                            spec, words, widths)
+                    elif isinstance(widths, np.ndarray):
                         widths = widths.astype(np.uint8)
                     return decode_batch_pallas(
                         spec, jnp.asarray(words), jnp.asarray(widths),

@@ -563,34 +563,48 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     """Pallas decode of a batch.
 
     words:  (F, W) uint32 — per-frame streams (walk_archive buckets W)
+            — or the PRE-STAGED (F, w_pad/128, 128) word grid
+            (stage_decode_inputs: in-jit pads/reshapes are relayout
+            copies on TPU; host staging is a free numpy reshape)
     widths: (F, nb) int32 or uint8 — per-block widths from the header
             walk (uint8 preferred: widths are <= 73, and the narrow
-            table is 1/4 the H2D + HBM->VMEM traffic)
+            table is 1/4 the H2D + HBM->VMEM traffic) — or the
+            pre-staged (F, L, R) plane
     Returns the kernel's (F, Lr, R*B) block layout (uint16 for unsigned
     <=16-bit targets, else int32, sign-extended iff spec.signed) —
     flatten host-side with :func:`flatten_decoded`.
     """
-    F, W = words.shape
+    F = words.shape[0]
     B = spec.block
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
-    # 1024-word (8x128 tile) alignment: the kernel's phase-2 word grids
-    # slice sublanes on tile boundaries
-    w_pad = _round_up(max(W, 128), 1024)
-    if w_pad > W:
-        words = jnp.concatenate(
-            [words, jnp.zeros((F, w_pad - W), jnp.uint32)], axis=1
-        )
-    widths_p = widths
-    if widths.shape[1] < P:
-        widths_p = jnp.concatenate(
-            [widths, jnp.zeros((F, P - widths.shape[1]), widths.dtype)],
-            axis=1,
-        )
-    # (F, nb->P) -> natural (F, L, R): [l, r] = block r + R*l (free
-    # reshape; the kernel transposes the small plane in VMEM)
-    wplanes = widths_p.reshape(F, L, R)
+    if words.ndim == 3:
+        w_pad = words.shape[1] * 128
+        words3 = words
+    else:
+        W = words.shape[1]
+        # 1024-word (8x128 tile) alignment: the kernel's phase-2 word
+        # grids slice sublanes on tile boundaries
+        w_pad = _round_up(max(W, 128), 1024)
+        if w_pad > W:
+            words = jnp.concatenate(
+                [words, jnp.zeros((F, w_pad - W), jnp.uint32)], axis=1
+            )
+        words3 = words.reshape(F, w_pad // 128, 128)
+    if widths.ndim == 3:
+        wplanes = widths
+    else:
+        widths_p = widths
+        if widths.shape[1] < P:
+            widths_p = jnp.concatenate(
+                [widths,
+                 jnp.zeros((F, P - widths.shape[1]), widths.dtype)],
+                axis=1,
+            )
+        # (F, nb->P) -> natural (F, L, R): [l, r] = block r + R*l (free
+        # reshape; the kernel transposes the small plane in VMEM)
+        wplanes = widths_p.reshape(F, L, R)
 
     kernel = functools.partial(_kernel, spec, w_pad, ratio, cut=cut)
     # only the rows with real values cross HBM (the decode twin of the
@@ -623,7 +637,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(words.reshape(F, w_pad // 128, 128), wplanes)
+    )(words3, wplanes)
     # return the kernel's OWN (F, Lr, R*B) block layout: flattening
     # on-device costs a full relayout+copy of the output (the lane
     # dimension changes and the n_padded slice is tile-unaligned —
@@ -811,6 +825,31 @@ def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
     )
 
 
+def stage_decode_inputs(spec: FrameSpec, words: np.ndarray,
+                        widths: np.ndarray):
+    """Host-side staging of walk outputs into the decode kernel's input
+    layouts: the (F, w_pad/128, 128) uint32 word grid (1024-word padded)
+    and the (F, L, R) uint8 width planes. Doing these pads/reshapes
+    in-jit instead costs whole-batch relayout copies on TPU (the lane
+    dimensions change); on the host they are memcpy-or-free."""
+    F, W = words.shape
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    w_pad = _round_up(max(W, 128), 1024)
+    if w_pad > W:
+        w2 = np.zeros((F, w_pad), np.uint32)
+        w2[:, :W] = words
+        words = w2
+    words3 = words.reshape(F, w_pad // 128, 128)
+    wp = widths if widths.dtype == np.uint8 else widths.astype(np.uint8)
+    if wp.shape[1] < P:
+        w3 = np.zeros((F, P), np.uint8)
+        w3[:, : wp.shape[1]] = wp
+        wp = w3
+    return words3, wp.reshape(F, L, R)
+
+
 def flatten_decoded(out, n: int) -> np.ndarray:
     """Host-side (F, n) view of a decode kernel's block-layout output
     ((F, Lr, R*B) whole-frame / (F, T, L, R*B) tiled / (F, cols) jnp
@@ -831,8 +870,9 @@ def decode(archive, dtype, interpret: bool = False) -> np.ndarray:
     widths, _poffs, words = walk_archive(archive, spec)
     if spec.pallas_ok_decode:
         sched = choose_schedule(spec, widths)
-        out = decode_batch_pallas(spec, jnp.asarray(words),
-                                  jnp.asarray(widths), interpret, sched)
+        w3, d3 = stage_decode_inputs(spec, words, widths)
+        out = decode_batch_pallas(spec, jnp.asarray(w3),
+                                  jnp.asarray(d3), interpret, sched)
     else:
         out = decode_tiled_host(spec, words, widths, interpret)
     vals = flatten_decoded(jax.device_get(out), meta.number_of_values)
