@@ -162,14 +162,14 @@ def test_choose_schedule_decode_exact_interpret():
     sched = choose_schedule(spec, widths)
     P = spec.tree_rows
     assert isinstance(sched, tuple) and len(sched) == P.bit_length()
-    out = np.asarray(
+    from trpx_tpu.ops.pallas_unpack import flatten_decoded
+
+    out = flatten_decoded(
         jax.device_get(
             decode_batch_pallas(
                 spec, jnp.asarray(words), jnp.asarray(widths), True, sched
             )
-        )
-    )
-    out = out.reshape(out.shape[0], -1)[:, :n]
+        ), n)
     assert np.array_equal(out.astype(np.uint16), fr)
 
 
@@ -196,14 +196,14 @@ def test_measured_schedule_dtypes_interpret(dt, hot):
     spec = FrameSpec.for_dtype(n, dt)
     widths, _p, words = walk_archive(arch, spec)
     sched = choose_schedule(spec, widths)
-    out = np.asarray(
+    from trpx_tpu.ops.pallas_unpack import flatten_decoded
+
+    out = flatten_decoded(
         jax.device_get(
             decode_batch_pallas(
                 spec, jnp.asarray(words), jnp.asarray(widths), True, sched
             )
-        )
-    )
-    out = out.reshape(out.shape[0], -1)[:, :n]
+        ), n)
     assert np.array_equal(out.astype(dt), fr)
 
 

@@ -23,9 +23,8 @@ def _decode_tiled(arch, spec, dtype):
         pallas_unpack.decode_tiled_host(spec, words, widths,
                                         interpret=True, tile_blocks=TB)
     )
-    out = np.asarray(out)
-    out = out.reshape(out.shape[0], -1)   # kernel block layout -> flat
-    return narrow_values(out[:, : spec.n], np.dtype(dtype))
+    out = pallas_unpack.flatten_decoded(out, spec.n)
+    return narrow_values(out, np.dtype(dtype))
 
 
 @pytest.mark.parametrize("n", [TB * 12 * 3 + 100, TB * 12 * 2, TB * 12 + 7])

@@ -57,9 +57,9 @@ for n, dt, hot, ratio in CASES:
         ref = pycodec.encode([frames[i] for i in range(F)])
         assert arch.payload == ref.payload, f"BYTES MISMATCH n={n} {dt}"
     widths, _p, wbuf = walk_archive(arch, spec)
-    out = np.asarray(jax.device_get(dec(spec, wbuf, widths, None)))
-    out = out.reshape(out.shape[0], -1)   # kernel block layout -> flat
-    got = narrow_values(out[:, :n], np.dtype(dt))
+    from trpx_tpu.ops.pallas_unpack import flatten_decoded
+    out = flatten_decoded(jax.device_get(dec(spec, wbuf, widths, None)), n)
+    got = narrow_values(out, np.dtype(dt))
     assert np.array_equal(got, frames), f"MISMATCH n={n} {dt}"
     print(f"n={n} {np.dtype(dt).name}: routed "
           f"enc(pallas={spec.pallas_ok}) dec(whole={spec.pallas_ok_decode}) "

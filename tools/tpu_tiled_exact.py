@@ -68,8 +68,8 @@ for side in sides:
         jax.jit(lambda *a: decode_batch_pallas_tiled(spec, *a, False, r))(
             jnp.asarray(words_t), jnp.asarray(widths),
             jnp.asarray(shift), jnp.asarray(prev0)))
-    out = np.asarray(out).reshape(F, -1)   # block layout -> flat
-    got = narrow_values(out[:, :n], np.dtype(dt))
+    from trpx_tpu.ops.pallas_unpack import flatten_decoded
+    got = narrow_values(flatten_decoded(out, n), np.dtype(dt))
     assert np.array_equal(got, frames), f"DECODE MISMATCH {side}"
     print(f"{side}x{side} u32 F={F}: encode bytes EXACT, decode EXACT "
           f"(enc {t1-t0:.1f}s incl compile, pycodec {t2-t1:.1f}s)")

@@ -902,9 +902,11 @@ def decode(archive: TrpxArchive, dtype) -> np.ndarray:
         Fp *= 2
     widths, poffs, words = walk_archive(archive, spec, pad_frames_to=Fp)
     run = _best_decoder()
-    out = np.asarray(jax.device_get(run(spec, words, widths, poffs)))
-    # Pallas decoders return their block layout ((F, Lr, R*B) /
-    # (F, T, L, R*B)); the jnp tree returns (F, cols). The host flatten
-    # is free either way (see pallas_unpack.flatten_decoded).
-    vals = out.reshape(out.shape[0], -1)[:F, : meta.number_of_values]
+    out = jax.device_get(run(spec, words, widths, poffs))
+    # Pallas decoders return their block layout (possibly pair-packed
+    # uint32); the jnp tree returns (F, cols). flatten_decoded handles
+    # both for free on the host.
+    from .pallas_unpack import flatten_decoded
+
+    vals = flatten_decoded(out, meta.number_of_values)[:F]
     return narrow_values(vals, dtype)

@@ -50,24 +50,36 @@ _I32 = jnp.int32
 
 def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
                  block_offset=None, n_total: int | None = None,
-                 prev0=None):
+                 prev0=None, pairs: bool = False):
     """Per-block tables as (R, L) planes; block b = r + R*l.
 
     For tiled big-frame encodes: ``block_offset`` (traced scalar) shifts
     block indices into the global frame, ``n_total`` is the global value
     count, and ``prev0`` is the previous tile's last block width (the
-    repeat-coding state crosses tile boundaries, Terse.hpp:517-535)."""
+    repeat-coding state crosses tile boundaries, Terse.hpp:517-535).
+
+    ``pairs``: vplanes are B/2 PAIR planes (two u16 values per uint32
+    word, values (2k, 2k+1) in plane k — the pair-packed input path;
+    unsigned <=16-bit only)."""
     B = spec.block
-    if spec.signed:
+    if pairs:
+        us = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
+        setbits = us[0] & _U32(0xFFFF) | (us[0] >> _U32(16))
+        for u in us[1:]:
+            setbits = setbits | (u & _U32(0xFFFF)) | (u >> _U32(16))
+    elif spec.signed:
         mags = [
             jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
             for v in vplanes
         ]
+        setbits = mags[0]
+        for m in mags[1:]:
+            setbits = setbits | m
     else:
         mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
-    setbits = mags[0]
-    for m in mags[1:]:
-        setbits = setbits | m
+        setbits = mags[0]
+        for m in mags[1:]:
+            setbits = setbits | m
     nz = setbits != 0
     width = jnp.where(
         nz, _I32(32) - jax.lax.clz(setbits).astype(_I32), _I32(0)
@@ -127,7 +139,7 @@ def _cut_row(chk, ow: int):
 def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                  n_total: int | None = None, cut: int | None = None,
                  block_offset=None, prev0=None, want_carry: bool = False,
-                 s0=None):
+                 s0=None, pairs: bool = False):
     """Encode ONE frame (or tile) given its (R, L) value planes.
 
     Pure arrays -> arrays: returns (grid — (ow_pad/128, 128) uint32
@@ -165,7 +177,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
 
     width, hb, hv, counts = _plan_planes(
         spec, vplanes, R, L, block_offset=block_offset, n_total=n_total,
-        prev0=prev0,
+        prev0=prev0, pairs=pairs,
     )
     if want_carry:
         # the tile's last block width, for the next grid step (masked-max
@@ -281,13 +293,25 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                     for i in range(span)
                 ]
         valid = (j < counts) & (width > 0)
-        vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
+        if pairs:
+            # one PAIR plane holds the whole group: low half = value j,
+            # high half = value j+1 (the input transpose moved half the
+            # words; unpacking here is the same shift/mask the separate
+            # planes needed anyway)
+            u = jax.lax.bitcast_convert_type(vplanes[j // 2], _U32)
+            vu = u & wmask
+        else:
+            vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
         vj = jnp.where(valid, vu, _U32(0))
         for d in range(1, stride):
             if j + d >= B:
                 continue
             validd = (j + d < counts) & (width > 0)
-            vud = jax.lax.bitcast_convert_type(vplanes[j + d], _U32) & wmask
+            if pairs:
+                vud = (u >> _U32(16)) & wmask
+            else:
+                vud = (jax.lax.bitcast_convert_type(vplanes[j + d], _U32)
+                       & wmask)
             # zeros land beyond the block's own bits when j+d is padding
             vj = vj | (jnp.where(validd, vud, _U32(0)) << (wu * _U32(d)))
         rows[0] = _p(rows, 0) | vj
@@ -505,15 +529,25 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref,
 
     if natural:
         xi = frame_ref[0]
+        # uint32 input for an unsigned <=16-bit spec = PAIR-PACKED rows
+        # (stage_natural): two values per word, HALF the in-VMEM
+        # transpose — the single largest encode cut (round 5)
+        pairs = (xi.dtype == jnp.uint32 and not spec.signed
+                 and spec.max_width <= 16)
         if xi.shape[0] < L:  # zero pad rows live in VMEM, not HBM
             xi = jnp.concatenate(
                 [xi, jnp.zeros((L - xi.shape[0], xi.shape[1]),
                                xi.dtype)], axis=0)
-        vplanes = _natural_planes(xi, R, B)
+        if pairs:
+            vplanes = _natural_planes(
+                jax.lax.bitcast_convert_type(xi, _I32), R, B // 2)
+        else:
+            vplanes = _natural_planes(xi, R, B)
     else:
+        pairs = False
         vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
     row, _, total, maxw, over = _encode_body(spec, vplanes, ow_pad,
-                                             cut=cut)
+                                             cut=cut, pairs=pairs)
     # the per-frame scalars ride the last three word slots (the host
     # never reads words beyond out_words <= ow_pad-3, so they're
     # free; SMEM scalar outputs would write back (F,1) constant-
@@ -634,13 +668,14 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
                                memory_space=pltpu.VMEM)
         natural = False
     elif frames.ndim == 3:
-        # NATURAL KERNEL layout (F, Lr, R*B), staged by the host
-        # (stage_natural — a free numpy reshape): the in-jit 2-D->3-D
+        # NATURAL KERNEL layout staged by the host (stage_natural — a
+        # free numpy view): (F, Lr, R*B) values, or (F, Lr, R*B/2)
+        # uint32 PAIR rows for unsigned <=16-bit dtypes (two values per
+        # word — half the in-VMEM transpose). The in-jit 2-D->3-D
         # reshape below is NOT free on TPU (the lane dimension changes,
-        # forcing a relayout copy of the whole batch — measured ~0.3 ms
-        # /256 u16 frames, round 5)
+        # forcing a relayout copy of the whole batch — round 5)
         x = frames
-        in_spec = pl.BlockSpec((1, frames.shape[1], R * B),
+        in_spec = pl.BlockSpec((1, frames.shape[1], frames.shape[2]),
                                lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)
         natural = True
@@ -701,13 +736,21 @@ def encode_batch_pallas(spec: FrameSpec, frames: jax.Array,
 
 def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
     """Free host-side view of a padded (F, n_staged) batch in the encode
-    kernel's (F, Lr, R*B) natural layout (see encode_batch_pallas's
-    3-D input path). No copy: numpy reshape of a C-contiguous array."""
+    kernel's natural layout (see encode_batch_pallas's 3-D input path).
+    No copy: a numpy view of the C-contiguous array. For unsigned
+    <=16-bit dtypes with an even block, rows are PAIR-PACKED uint32
+    ((F, Lr, R*B/2), values (2k, 2k+1) little-endian in word k): the
+    kernel transposes HALF the words and unpacks during staging, where
+    the shift/mask already exists."""
     P = spec.tree_rows
     L = min(128, P)
     R = P // L
     B = spec.block
     Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
+    if (not spec.signed and spec.max_width <= 16 and B % 2 == 0
+            and frames.dtype == np.uint16):
+        return frames.view(np.uint32).reshape(
+            frames.shape[0], Lr, (R * B) // 2)
     return frames.reshape(frames.shape[0], Lr, R * B)
 
 

@@ -423,6 +423,20 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     # at [l, r*B+j] IS flat frame order, so the host's reshape is free
     # (the old (F,B,R,L) output needed an XLA transpose materialization)
     zero_p = jnp.zeros((R, L), _I32)
+    if not spec.signed and spec.max_width <= 16 and B % 2 == 0:
+        # PAIR-PACKED output (values (2k, 2k+1) little-endian per uint32
+        # word): the final in-VMEM transpose — the decode twin of the
+        # encode input transpose — moves HALF the words; the host views
+        # the fetched bytes as u16 for free (flatten_decoded). Values
+        # are already width-masked (<= 16 bits, nonnegative).
+        packed = [
+            (planes[2 * k] if planes[2 * k] is not None else zero_p)
+            | ((planes[2 * k + 1] if planes[2 * k + 1] is not None
+                else zero_p) << _I32(16))
+            for k in range(B // 2)
+        ]
+        x3 = jnp.stack(packed, axis=1)                      # (R, B/2, L)
+        return x3.reshape(R * (B // 2), L).T                # (L, R*B/2)
     x3 = jnp.stack([p if p is not None else zero_p for p in planes],
                    axis=1)                                  # (R, B, L)
     return x3.reshape(R * B, L).T                           # (L, R*B)
@@ -445,6 +459,11 @@ def _kernel(spec: FrameSpec, w_pad: int, ratio: float,
     tiled = prev_ref is not None
 
     def narrow(out):
+        if out_ref.dtype == jnp.uint32:
+            # pair-packed unsigned <=16 output: the i32 pair words ARE
+            # the two u16 values little-endian; same bytes, half the
+            # columns
+            return jax.lax.bitcast_convert_type(out, jnp.uint32)
         if out_ref.dtype == jnp.uint16:
             # unsigned <=16-bit targets store native u16: halves the HBM
             # write (the dominant decode output traffic) and the host
@@ -610,6 +629,7 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     # only the rows with real values cross HBM (the decode twin of the
     # encode n_staged input trim; Lr is 8-row aligned)
     Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
+    out_cols, out_dtype = _out_layout(spec, cut)
     # hand the kernel a dense (w_pad/128, 128) word grid: the reshape is
     # free on the HBM buffer, while reshaping a (1, w_pad) lane row
     # inside the kernel was a full cross-tile relayout (3.9 ms/256fr)
@@ -622,14 +642,9 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
             pl.BlockSpec((1, L, R), lambda f: (f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Lr, R * B), lambda f: (f, 0, 0),
+        out_specs=pl.BlockSpec((1, Lr, out_cols), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        # unsigned <=16-bit targets emit native u16 (halved HBM write)
-        out_shape=jax.ShapeDtypeStruct(
-            (F, Lr, R * B),
-            jnp.uint16 if (not spec.signed and spec.max_width <= 16
-                           and cut is None) else jnp.int32,
-        ),
+        out_shape=jax.ShapeDtypeStruct((F, Lr, out_cols), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             # frames are independent: lets Megacore split the F axis on
@@ -644,6 +659,24 @@ def decode_batch_pallas(spec: FrameSpec, words: jax.Array,
     # measured 8% of the whole decode, round 5). Hosts flatten for free
     # after the fetch (flatten_decoded); row-major bytes are identical.
     return out
+
+
+def _out_layout(spec: FrameSpec, cut):
+    """Decode output columns/dtype per frame row: pair-packed uint32
+    (R*B/2 words of two u16 values) for unsigned <=16-bit even-block
+    targets, native u16 for odd blocks, else int32 (see _decode_body's
+    assembly note)."""
+    B = spec.block
+    P = spec.tree_rows
+    L = min(128, P)
+    R = P // L
+    if cut is not None:
+        return R * B, jnp.int32
+    if not spec.signed and spec.max_width <= 16:
+        if B % 2 == 0:
+            return (R * B) // 2, jnp.uint32
+        return R * B, jnp.uint16
+    return R * B, jnp.int32
 
 
 #: blocks per tile for big-frame decodes — matches pallas_pack.TILE_BLOCKS
@@ -780,6 +813,7 @@ def decode_batch_pallas_tiled(
 
     kernel = functools.partial(_kernel, tspec, w_pad, ratio,
                                n_total=spec.n)
+    t_cols, t_dtype = _out_layout(tspec, None)
     out = pl.pallas_call(
         lambda w, wd, sh, pv, o: kernel(w, wd, o, shift_ref=sh,
                                         prev_ref=pv),
@@ -795,14 +829,10 @@ def decode_batch_pallas_tiled(
             pl.BlockSpec((F, T), lambda f, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, L, R * B),
+        out_specs=pl.BlockSpec((1, 1, L, t_cols),
                                lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (F, T, L, R * B),
-            jnp.uint16 if (not spec.signed and spec.max_width <= 16)
-            else jnp.int32,
-        ),
+        out_shape=jax.ShapeDtypeStruct((F, T, L, t_cols), t_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -856,7 +886,10 @@ def flatten_decoded(out, n: int) -> np.ndarray:
     tree). The numpy reshape is free — row-major fetched bytes ARE the
     natural value order; doing this flatten on-device instead costs a
     full relayout+copy of the output (measured 8% of decode)."""
-    out = np.asarray(out)
+    out = np.ascontiguousarray(np.asarray(out))
+    if out.dtype == np.uint32:
+        # pair-packed unsigned <=16 output: same bytes, viewed as u16
+        out = out.view(np.uint16)
     return out.reshape(out.shape[0], -1)[:, :n]
 
 

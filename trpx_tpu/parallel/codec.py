@@ -328,10 +328,13 @@ def _decode_sharded_jit(spec, mesh, words, widths, ratio=1.0):
 
     def local(words_l, widths_l):
         out = decoder(spec, words_l, widths_l, None, ratio=ratio)
-        # Pallas decoders return their block layout; shard_map's rank-2
-        # out_specs need the flat view, so THIS path pays the on-device
-        # flatten relayout (the single-chip paths flatten for free on
-        # the host after the fetch — pallas_unpack.flatten_decoded)
+        # Pallas decoders return their block layout (possibly
+        # pair-packed uint32); shard_map's rank-2 out_specs need the
+        # flat value view, so THIS path pays the on-device
+        # flatten/bitcast relayouts (the single-chip paths flatten for
+        # free on the host — pallas_unpack.flatten_decoded)
+        if out.dtype == jnp.uint32:
+            out = jax.lax.bitcast_convert_type(out, jnp.uint16)
         return out.reshape(out.shape[0], -1)
 
     return shard_map(

@@ -521,10 +521,11 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
     def _drain(p):
         if not fetch:
             return p  # (device array, real frame count), un-narrowed
-        out = np.asarray(jax.device_get(p[0]))
-        # Pallas decoders return block layouts ((C, Lr, R*B) whole-frame
-        # / (C, T, L, R*B) tiled); the host flatten is free
-        vals = out.reshape(out.shape[0], -1)[: p[1], :n]
+        from ..ops.pallas_unpack import flatten_decoded
+
+        # Pallas decoders return block layouts (possibly pair-packed
+        # uint32); the host flatten/view is free
+        vals = flatten_decoded(jax.device_get(p[0]), n)[: p[1]]
         return narrow_values(vals, dtype)
 
     for lo in range(0, F, C):
