@@ -240,10 +240,13 @@ def test_tiled_route_hostile_tables():
     spec = FrameSpec.for_dtype(3000, np.uint16)
     widths, _p, words = walk_archive(arch, spec)
 
+    from trpx_tpu.ops.pallas_unpack import flatten_decoded
+
     # sane baseline first: the small-tile route must be exact
-    out = np.asarray(decode_tiled_host(spec, words, widths,
-                                       interpret=True, tile_blocks=64))
-    np.testing.assert_array_equal(out[:, :3000].astype(np.uint16), stack)
+    out = flatten_decoded(
+        decode_tiled_host(spec, words, widths, interpret=True,
+                          tile_blocks=64), 3000)
+    np.testing.assert_array_equal(out.astype(np.uint16), stack)
 
     rng = np.random.default_rng(5)
     F, nb = widths.shape

@@ -97,17 +97,46 @@ def test_config_2k_overflow_heavy():
 
 
 def test_config_4k_int32_signed():
-    """4K×4K signed frame exercises the width-33 (sign-bit) path."""
-    rng = np.random.default_rng(11)
-    img = rng.integers(-1000, 1000, size=(4096, 4096), dtype=np.int32)
-    img[0, :100] = np.int32(-(2**31))  # widest possible signed field
-    flat = img.reshape(1, -1)
-    arch = ops.encode(flat, dimensions=(4096, 4096))
-    assert arch.meta.prolix_bits == 33
-    out = ops.decode(arch, np.int32)
-    np.testing.assert_array_equal(out.reshape(img.shape), img)
-    sl = img.reshape(-1)[:360]
-    assert ops.encode(sl[None].copy()).payload == pycodec.encode(sl).payload
+    """4K×4K signed frame exercises the width-33 (sign-bit) path.
+
+    Runs in a FRESH interpreter: this config's worst-case (ratio 1.0)
+    jnp tree is the largest XLA-CPU compile in the suite, and jaxlib
+    0.9's CPU compiler intermittently SIGABRTs on it late in a
+    long-running process (same fragility as the serialize() note in
+    conftest; reproduced 3x at suite position ~90%, never in a fresh
+    process). Subprocess isolation keeps the coverage without tying the
+    suite's fate to that compiler bug."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    body = textwrap.dedent("""
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from trpx_tpu import ops
+        from trpx_tpu.format import pycodec
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(-1000, 1000, size=(4096, 4096), dtype=np.int32)
+        img[0, :100] = np.int32(-(2**31))  # widest possible signed field
+        flat = img.reshape(1, -1)
+        arch = ops.encode(flat, dimensions=(4096, 4096))
+        assert arch.meta.prolix_bits == 33
+        out = ops.decode(arch, np.int32)
+        np.testing.assert_array_equal(out.reshape(img.shape), img)
+        sl = img.reshape(-1)[:360]
+        assert (ops.encode(sl[None].copy()).payload
+                == pycodec.encode(sl).payload)
+        print("4K-I32-OK")
+    """)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", body], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0 and "4K-I32-OK" in r.stdout, (
+        f"subprocess failed:\n{r.stdout}\n{r.stderr}")
 
 
 def test_config_movie_stack_streamed(tmp_path):

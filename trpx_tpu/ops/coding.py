@@ -86,13 +86,26 @@ class FrameSpec:
         the pure-zero tail rows of the pow2 block grid — up to 1.5x of
         the input DMA (512² u16: 393,216 -> 270,336 values) — while the
         kernel concats the zero rows in VMEM. Always >= n_padded, so
-        every other encoder accepts it unchanged."""
+        every other encoder accepts it unchanged. (Big frames' TILED
+        staging width is n_staged_tiled — kept separate: changing THIS
+        width destabilized the jnp tree's XLA-CPU compile at 4K,
+        round 5.)"""
         P = self.tree_rows
         L = min(128, P)
         R = P // L
         rows_needed = -(-self.n // (R * self.block))
         rows = min(L, (rows_needed + 7) // 8 * 8)
         return rows * R * self.block
+
+    @property
+    def n_staged_tiled(self) -> int:
+        """Values per frame in the TILED kernels' full (T, TILE_BLOCKS)
+        grid — the width to pad to when staging big frames into the
+        tiled kernel layout host-side (pallas_pack.stage_natural)."""
+        from .pallas_pack import TILE_BLOCKS
+
+        T = -(-self.nb // TILE_BLOCKS)
+        return T * TILE_BLOCKS * self.block
 
     @property
     def worst_bits(self) -> int:
@@ -458,20 +471,22 @@ def _best_encoder():
                     # tiny frames (< one lane row of blocks): jnp tree —
                     # the Pallas layouts need a full 128-lane row
                     return encode_batch_device(spec, frames)
-                if spec.pallas_ok:
-                    if (isinstance(frames, np.ndarray) and frames.ndim == 2
-                            and frames.shape[1] == spec.n_staged
-                            and frames.flags.c_contiguous):
-                        # free host reshape into the kernel's natural
-                        # layout (_pad_batch emits exactly n_staged): the
-                        # in-jit reshape is a full relayout copy on TPU
-                        # (pallas_pack.stage_natural)
-                        from .pallas_pack import stage_natural
+                wanted = (spec.n_staged if spec.pallas_ok
+                          else spec.n_staged_tiled)
+                if (isinstance(frames, np.ndarray) and frames.ndim == 2
+                        and frames.shape[1] == wanted
+                        and frames.flags.c_contiguous):
+                    # free host view into the kernel's natural layout
+                    # (_pad_batch emits exactly n_staged; whole-frame
+                    # AND tiled routes): the in-jit reshape is a full
+                    # relayout copy on TPU (pallas_pack.stage_natural)
+                    from .pallas_pack import stage_natural
 
-                        frames = stage_natural(spec, frames)
+                    frames = stage_natural(spec, frames)
+                if spec.pallas_ok:
                     return encode_batch_pallas(spec, frames)
-                # big frames (2K/4K detectors): per-tile VMEM packs +
-                # a small jnp merge of the tile streams
+                # big frames (2K/4K detectors): per-tile VMEM packs with
+                # in-kernel DMA placement
                 return encode_batch_pallas_tiled(spec, frames)
 
             return run

@@ -746,9 +746,25 @@ def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
     L = min(128, P)
     R = P // L
     B = spec.block
+    pairs = (not spec.signed and spec.max_width <= 16 and B % 2 == 0
+             and frames.dtype == np.uint16)
+    if P >= 128 and not spec.pallas_ok:
+        # TILED kernel layout (F, T, L, R*B[/2]); callers pad to
+        # spec.n_staged_tiled (bench.staged_values does)
+        Tb = TILE_BLOCKS
+        T = -(-spec.nb // Tb)
+        Lt = min(128, Tb)
+        Rt = Tb // Lt
+        if frames.shape[1] != T * Tb * B:
+            raise ValueError(
+                f"tiled staging needs width n_staged_tiled="
+                f"{T * Tb * B}, got {frames.shape[1]}")
+        if pairs:
+            return frames.view(np.uint32).reshape(
+                frames.shape[0], T, Lt, (Rt * B) // 2)
+        return frames.reshape(frames.shape[0], T, Lt, Rt * B)
     Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
-    if (not spec.signed and spec.max_width <= 16 and B % 2 == 0
-            and frames.dtype == np.uint16):
+    if pairs:
         return frames.view(np.uint32).reshape(
             frames.shape[0], Lr, (R * B) // 2)
     return frames.reshape(frames.shape[0], Lr, R * B)
@@ -847,11 +863,18 @@ def _tiled_kernel(tspec: FrameSpec, n_total: int,
     prev0 = jnp.where(t == 0, _I32(0), carry_ref[0])
     acc = jnp.where(t == 0, _I32(0), carry_ref[1])
 
-    vplanes = _natural_planes(frame_ref[0, 0], R, B)
+    xi = frame_ref[0, 0]
+    pairs = (xi.dtype == jnp.uint32 and not tspec.signed
+             and tspec.max_width <= 16)
+    if pairs:
+        vplanes = _natural_planes(
+            jax.lax.bitcast_convert_type(xi, _I32), R, B // 2)
+    else:
+        vplanes = _natural_planes(xi, R, B)
     row, lastw, total, maxw, over = _encode_body(
         tspec, vplanes, S * 128, n_total=n_total,
         block_offset=t * P, prev0=prev0, want_carry=True,
-        s0=acc & 31)
+        s0=acc & 31, pairs=pairs)
 
     # rotate up to the window phase: content moves to words [w0, w0+occ)
     # (occ + 127 <= S*128 by the +1024-word headroom, so the wrap zone
@@ -930,15 +953,21 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
     tspec = FrameSpec(n=Tb * B, block=B, signed=spec.signed,
                       max_width=spec.max_width, cap_ratio=spec.cap_ratio,
                       cap_sched=tsched)
-    if frames.shape[1] < total_blocks * B:
-        pad = jnp.zeros((F, total_blocks * B - frames.shape[1]),
-                        frames.dtype)
-        frames = jnp.concatenate([frames, pad], axis=1)
-    elif frames.shape[1] > total_blocks * B:
-        frames = frames[:, : total_blocks * B]
     L = min(128, Tb)
     R = Tb // L
-    x = frames.reshape(F, T, L, R * B)  # natural layout (free reshape)
+    if frames.ndim == 4:
+        # host-staged tiled kernel layout (stage_natural: free numpy
+        # view; (F, T, L, R*B) values or (F, T, L, R*B/2) uint32 pairs)
+        x = frames
+    else:
+        if frames.shape[1] < total_blocks * B:
+            pad = jnp.zeros((F, total_blocks * B - frames.shape[1]),
+                            frames.dtype)
+            frames = jnp.concatenate([frames, pad], axis=1)
+        elif frames.shape[1] > total_blocks * B:
+            frames = frames[:, : total_blocks * B]
+        # NOT free in-jit (lane-dim change): host callers stage instead
+        x = frames.reshape(F, T, L, R * B)
 
     # tile window: worst-case tile stream + 127 words of rotation phase,
     # rounded so the (S, 128) grid sits on whole (8, 128) tiles
@@ -952,7 +981,7 @@ def encode_batch_pallas_tiled(spec: FrameSpec, frames: jax.Array,
         kernel,
         grid=(F, T),
         in_specs=[
-            pl.BlockSpec((1, 1, L, R * B), lambda f, t: (f, t, 0, 0),
+            pl.BlockSpec((1, 1, L, x.shape[3]), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

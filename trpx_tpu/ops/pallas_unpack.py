@@ -35,6 +35,12 @@ from .pallas_pack import _bcast3, _roll3_down, _roll3_down_nz
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
+#: dynamic-roll lift for the single-node top splits (one traced-shift
+#: pltpu.roll pair instead of ~log2(cap) static roll-select passes).
+#: OFF until the device smoke gate validates it — the tunnel went down
+#: mid-validation (round 5); interpret-green does not prove Mosaic
+#: lowering (see the S==1 episode).
+_DYN_ROLL = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -200,6 +206,28 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
             return jnp.zeros_like(x)
         return jnp.roll(x, -step, axis=axis)
 
+    def roll_down_dyn1(x, kscal, zero_wrap: bool):
+        # (1, S, 128) down-shift by a TRACED k words: lane part + sublane
+        # part as two dynamic rolls + the same boundary selects as the
+        # static _roll3_down — replaces ~log2(cap) static passes at the
+        # top levels where k is a single scalar
+        M1, S, Lx = x.shape
+        klane = (kscal % Lx).astype(_I32)
+        ksub = (kscal // Lx).astype(_I32)
+        # pltpu.roll shifts are non-negative rotations i -> i+shift;
+        # a down-shift by k is a rotation by (size - k) % size
+        a1 = pltpu.roll(x, (Lx - klane) % Lx, 2)
+        b1 = pltpu.roll(a1, S - 1, 1) if S > 1 else a1
+        lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+        a2 = jnp.where(lane < Lx - klane, a1, b1)
+        out = pltpu.roll(a2, (S - ksub) % S, 1)
+        if zero_wrap:
+            sub = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+            out = jnp.where(sub < S - ksub, out, _U32(0))
+            out = jnp.where((sub == S - 1 - ksub) & (lane >= Lx - klane),
+                            _U32(0), out)
+        return out
+
     mbb = spec.max_block_bits
 
     # ---- phase 2 inverse: top-down row-pair splits ----------------------
@@ -260,13 +288,20 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         # chain is an extra unfused pass per level. Reverted.)
         roll3 = (_roll3_down_nz if C >= Cc + la_w_max + 2
                  else _roll3_down)
-        k3 = (cut3 >> 5).astype(_U32)
-        Bp = rows3
-        step = 1
-        while step <= la_w_max:
-            bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
-            Bp = jnp.where(bit, roll3(Bp, step), Bp)
-            step *= 2
+        if _DYN_ROLL and M == 1 and la_w_max >= 8:
+            # single node: one dynamic two-axis roll instead of
+            # log2(la_w_max) static roll-select passes
+            kw = ((pa2 + la) >> 5)[0, 0]
+            Bp = roll_down_dyn1(rows3, kw,
+                                zero_wrap=C < Cc + la_w_max + 2)
+        else:
+            k3 = (cut3 >> 5).astype(_U32)
+            Bp = rows3
+            step = 1
+            while step <= la_w_max:
+                bit = ((k3 >> (step.bit_length() - 1)) & 1) != 0
+                Bp = jnp.where(bit, roll3(Bp, step), Bp)
+                step *= 2
         Bp = Bp[:, :Sc, :]
         rows3 = jnp.concatenate(
             [A[:, None], Bp[:, None]], axis=1
@@ -701,8 +736,9 @@ def tile_prepass(spec: FrameSpec, widths: np.ndarray, words: np.ndarray,
     each tile's first bit within its window.
 
     widths: (F, nb) int32; words: (F, W) uint32 (walk_archive output).
-    Returns (words_t (F, T, Wt) uint32, shift (F, T) int32,
-    prev0 (F, T) int32, ratio float).
+    Returns (words_t (F, T, w_pad/128, 128) uint32 — the kernel's word
+    grid, 1024-word aligned — shift (F, T) int32, prev0 (F, T) int32,
+    and the measured per-level schedule tuple).
     """
     from .pack import measured_schedule
 
@@ -715,12 +751,15 @@ def tile_prepass(spec: FrameSpec, widths: np.ndarray, words: np.ndarray,
     shift = (off & 31).astype(np.int32)
     ws = off >> 5
     need = int(((shift + tile_bits + 31) // 32).max(initial=1)) + 1
-    Wt = 128
+    Wt = 1024  # (8x128)-tile aligned: the kernel's word grid needs a
+    #            1024-multiple, and emitting it here keeps the device
+    #            call free of in-jit pad/reshape relayouts (round 5)
     while Wt < need:
         Wt *= 2
     W = words.shape[1]
-    Wt = min(Wt, 1 << (int(W - 1).bit_length()))
-    words_t = _tile_windows(words, ws, Wt)
+    Wt = max(1024, min(Wt, 1 << (int(W - 1).bit_length())))
+    words_t = _tile_windows(words, ws, Wt).reshape(
+        F, T, Wt // 128, 128)
     prev0 = np.zeros((F, T), np.int32)
     if T > 1:
         prev0[:, 1:] = widths[:, Tb - 1 : (T - 1) * Tb : Tb]
@@ -783,33 +822,45 @@ def decode_batch_pallas_tiled(
     """Pallas decode of frames whose whole-frame split tree exceeds VMEM
     (2K/4K detectors): per-tile VMEM split trees on a (F, T) grid.
 
-    words_t: (F, T, Wt) uint32 — per-tile word windows (tile_prepass)
-    widths:  (F, nb) int32 — per-block widths from the header walk
+    words_t: (F, T, w_pad/128, 128) uint32 word grids (tile_prepass) —
+             or legacy (F, T, Wt) windows (padded/reshaped in-jit)
+    widths:  (F, T, L, R) uint8 staged planes (stage_tiled_widths) or
+             (F, nb) int32 tables from the header walk
     shift:   (F, T) int32 — bit offset of each tile's stream in its window
     prev0:   (F, T) int32 — previous tile's last block width
     Returns the kernel's (F, T, L, R*B) block layout (uint16/int32 as
     in decode_batch_pallas) — flatten host-side with flatten_decoded.
     """
-    F, T, Wt = words_t.shape
+    F, T = words_t.shape[:2]
     B = spec.block
     Tb = tile_blocks
     tspec = _tile_spec(spec, Tb)
     L = min(128, Tb)
     R = Tb // L
-    w_pad = _round_up(max(Wt, 128), 1024)
-    if w_pad > Wt:
-        words_t = jnp.concatenate(
-            [words_t, jnp.zeros((F, T, w_pad - Wt), jnp.uint32)], axis=2
-        )
-    widths_p = widths
-    if widths.shape[1] < T * Tb:
-        widths_p = jnp.concatenate(
-            [widths,
-             jnp.zeros((F, T * Tb - widths.shape[1]), widths.dtype)],
-            axis=1,
-        )
-    # (F, T*Tb) -> (F, T, R, L) planes with [r, l] = tile block r + R*l
-    wplanes = widths_p.reshape(F, T, L, R)  # natural layout (free)
+    if words_t.ndim == 4:
+        # pre-staged (F, T, w_pad/128, 128) word grid (tile_prepass)
+        w_pad = words_t.shape[2] * 128
+        words3 = words_t
+    else:
+        Wt = words_t.shape[2]
+        w_pad = _round_up(max(Wt, 128), 1024)
+        if w_pad > Wt:
+            words_t = jnp.concatenate(
+                [words_t, jnp.zeros((F, T, w_pad - Wt), jnp.uint32)],
+                axis=2)
+        words3 = words_t.reshape(F, T, w_pad // 128, 128)
+    if widths.ndim == 4:
+        wplanes = widths  # pre-staged (F, T, L, R) planes
+    else:
+        widths_p = widths
+        if widths.shape[1] < T * Tb:
+            widths_p = jnp.concatenate(
+                [widths,
+                 jnp.zeros((F, T * Tb - widths.shape[1]), widths.dtype)],
+                axis=1,
+            )
+        # (F, T*Tb) -> (F, T, L, R) planes, block = r + R*l per tile
+        wplanes = widths_p.reshape(F, T, L, R)
 
     kernel = functools.partial(_kernel, tspec, w_pad, ratio,
                                n_total=spec.n)
@@ -837,7 +888,7 @@ def decode_batch_pallas_tiled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(words_t.reshape(F, T, w_pad // 128, 128), wplanes, shift, prev0)
+    )(words3, wplanes, shift, prev0)
     # (F, T, L, R*B) kernel block layout — see decode_batch_pallas's
     # return note; flatten host-side via flatten_decoded
     return out
@@ -850,9 +901,27 @@ def decode_tiled_host(spec: FrameSpec, words: np.ndarray,
     Tb = tile_blocks if tile_blocks is not None else TILE_BLOCKS
     words_t, shift, prev0, ratio = tile_prepass(spec, widths, words, Tb)
     return decode_batch_pallas_tiled(
-        spec, jnp.asarray(words_t), jnp.asarray(widths),
+        spec, jnp.asarray(words_t),
+        jnp.asarray(stage_tiled_widths(spec, widths, Tb)),
         jnp.asarray(shift), jnp.asarray(prev0), interpret, ratio, Tb
     )
+
+
+def stage_tiled_widths(spec: FrameSpec, widths: np.ndarray,
+                       tile_blocks: int | None = None) -> np.ndarray:
+    """Host-side (F, T, L, R) uint8 width planes for the tiled decode
+    (the in-jit pad + reshape are relayout copies on TPU)."""
+    Tb = tile_blocks if tile_blocks is not None else TILE_BLOCKS
+    F = widths.shape[0]
+    T = -(-spec.nb // Tb)
+    L = min(128, Tb)
+    R = Tb // L
+    wp = widths if widths.dtype == np.uint8 else widths.astype(np.uint8)
+    if wp.shape[1] < T * Tb:
+        w2 = np.zeros((F, T * Tb), np.uint8)
+        w2[:, : wp.shape[1]] = wp
+        wp = w2
+    return wp.reshape(F, T, L, R)
 
 
 def stage_decode_inputs(spec: FrameSpec, words: np.ndarray,

@@ -584,20 +584,25 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
                     tile_prepass,
                 )
 
+                from ..ops.pallas_unpack import stage_tiled_widths
+
                 words_t, shift_c, prev0_c, s_c = tile_prepass(
                     spec, widths_p.astype(np.int32), words)
                 sched = (s_c if sched is None
                          else tuple(max(a, b) for a, b in zip(sched, s_c)))
+                # monotone window bucket, in (8, 128)-tile S units (the
+                # prepass emits 4-D word grids)
                 wt_max = max(wt_max, words_t.shape[2])
-                if words_t.shape[2] < wt_max:  # monotone window bucket
+                if words_t.shape[2] < wt_max:
                     words_t = np.concatenate(
                         [words_t,
                          np.zeros((*words_t.shape[:2],
-                                   wt_max - words_t.shape[2]), np.uint32)],
+                                   wt_max - words_t.shape[2], 128),
+                                  np.uint32)],
                         axis=2)
                 fut = decode_batch_pallas_tiled(
                     spec, jnp.asarray(words_t),
-                    jnp.asarray(widths_p.astype(np.int32)),
+                    jnp.asarray(stage_tiled_widths(spec, widths_p)),
                     jnp.asarray(shift_c), jnp.asarray(prev0_c), False,
                     sched)
             except Exception as e:
