@@ -55,3 +55,68 @@ def test_interpret_hot_pixels_and_partial_block():
     frames[rng.integers(0, 4, 10), rng.integers(0, 1000, 10)] = 65535
     arch = pallas_pack.encode(frames, interpret=True)
     assert arch.to_bytes() == pycodec.encode(list(frames)).to_bytes()
+
+
+def test_pair_packed_input_bit_identity():
+    """stage_natural's PAIR route (u16 values as u32 words through half
+    the transpose) must stay bit-identical to the value route and the
+    normative codec, including partial tail blocks and hot pixels."""
+    import jax
+
+    from trpx_tpu.ops.coding import FrameSpec, assemble_archive
+    from trpx_tpu.ops.pallas_pack import encode_batch_pallas, stage_natural
+
+    rng = np.random.default_rng(21)
+    for n in (5000, 12 * 4096, 12 * 4096 + 7):
+        spec = FrameSpec.for_dtype(n, np.uint16, cap_ratio=0.5)
+        fr = rng.poisson(3.0, size=(3, n)).astype(np.uint16)
+        fr[0, 7] = 60000
+        fr[-1, n - 1] = 41234
+        padded = np.zeros((3, spec.n_staged), np.uint16)
+        padded[:, :n] = fr
+        x3 = stage_natural(spec, padded)
+        assert x3.dtype == np.uint32          # pair route taken
+        w, b, m, o = jax.device_get(encode_batch_pallas(spec, x3, True))
+        arch = assemble_archive(spec, w, b, m)
+        assert arch.payload == pycodec.encode(list(fr)).payload, f"n={n}"
+
+
+def test_pair_and_value_routes_agree_signed_excluded():
+    """Signed dtypes must take the VALUE route (pair packing is
+    unsigned-only); staging them stays 3-D of the original dtype."""
+    from trpx_tpu.ops.coding import FrameSpec
+    from trpx_tpu.ops.pallas_pack import stage_natural
+
+    spec = FrameSpec.for_dtype(5000, np.int16, cap_ratio=0.5)
+    padded = np.zeros((2, spec.n_staged), np.int16)
+    x3 = stage_natural(spec, padded)
+    assert x3.dtype == np.int16 and x3.ndim == 3
+
+
+def test_tiled_pair_packed_input_bit_identity():
+    """Tiled encode with host-staged 4-D pair input == normative codec
+    across tile boundaries (cross-tile repeat chain intact)."""
+    import jax
+
+    from trpx_tpu.ops import pallas_pack as pp
+    from trpx_tpu.ops.coding import FrameSpec, assemble_archive
+
+    tb_save = pp.TILE_BLOCKS
+    pp.TILE_BLOCKS = 128
+    try:
+        rng = np.random.default_rng(22)
+        nt = 128 * 12 * 3 + 100
+        fr = rng.poisson(3.0, size=(2, nt)).astype(np.uint16)
+        fr[0, 5] = 60000
+        spec = FrameSpec.for_dtype(nt, np.uint16, cap_ratio=0.5)
+        T = -(-spec.nb // pp.TILE_BLOCKS)
+        padded = np.zeros((2, T * pp.TILE_BLOCKS * 12), np.uint16)
+        padded[:, :nt] = fr
+        x4 = padded.view(np.uint32).reshape(2, T, 128, 6)
+        w, b, m, o = jax.device_get(
+            pp.encode_batch_pallas_tiled(spec, x4, True))
+        assert not np.any(np.asarray(o))
+        arch = assemble_archive(spec, w, b, m)
+        assert arch.payload == pycodec.encode(list(fr)).payload
+    finally:
+        pp.TILE_BLOCKS = tb_save
