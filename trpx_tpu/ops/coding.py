@@ -333,14 +333,27 @@ def _pad_batch(frames: np.ndarray, spec: FrameSpec,
     """Zero-pad values to the block grid and (optionally) the frame count
     to the next power of two — per-frame outputs are independent, so the
     callers simply ignore the padding frames, and jit recompiles are
-    bounded to log2 batch-shape buckets."""
+    bounded to log2 batch-shape buckets.
+
+    On a TPU backend, big frames that will route to the TILED kernels
+    pad to the tile grid (n_staged_tiled) so _best_encoder's host
+    staging applies; elsewhere the Lr-trimmed n_staged stands (the jnp
+    tree's XLA-CPU compile is unstable at the tiled 4K width —
+    round 5)."""
     F = frames.shape[0]
     Fp = F
     if bucket:
         Fp = 1
         while Fp < F:
             Fp *= 2
-    out = np.zeros((Fp, spec.n_staged), dtype=frames.dtype)
+    width = spec.n_staged
+    try:
+        if (spec.tree_rows >= 128 and not spec.pallas_ok
+                and jax.default_backend() == "tpu"):
+            width = spec.n_staged_tiled
+    except Exception:  # pragma: no cover - backend discovery failure
+        pass
+    out = np.zeros((Fp, width), dtype=frames.dtype)
     out[:F, : spec.n] = frames
     return out
 
