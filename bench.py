@@ -181,25 +181,12 @@ def bench_512(jax, jnp, F, reps, n1=1, n2=9):
         from trpx_tpu.ops.pallas_pack import encode_batch_pallas
 
         # stage the chain inputs in the kernel's natural layout ONCE
-        # (outside timing): the in-jit 2-D->3-D reshape is a full
-        # relayout copy per chained call (round 5)
-        rb = (spec.tree_rows // min(128, spec.tree_rows)) * spec.block
-        if (not spec.signed and spec.max_width <= 16
-                and spec.block % 2 == 0):
-            # pair-pack once on device, outside timing (the production
-            # host path gets this for free: stage_natural views the u16
-            # batch as u32 pairs)
-            import functools as _ft
+        # (outside timing; stage_natural_device is the shared device-side
+        # twin of the production host stager)
+        from trpx_tpu.ops.pallas_pack import stage_natural_device
 
-            @_ft.partial(jax.jit, static_argnums=1)
-            def _pack(x, F_):
-                v = x.astype(jnp.uint32).reshape(F_, -1, 2)
-                return (v[..., 0] | (v[..., 1] << 16)).reshape(
-                    F_, -1, rb // 2)
-
-            xs = [jax.block_until_ready(_pack(x, F)) for x in xs]
-        else:
-            xs = [jax.block_until_ready(x.reshape(F, -1, rb)) for x in xs]
+        xs = [jax.block_until_ready(stage_natural_device(spec, x, F))
+              for x in xs]
         enc = lambda fr: encode_batch_pallas(spec, fr)
         _, _, _, over0 = jax.device_get(enc(xs[0]))
         assert not bool(np.any(over0)), "soft capacity overflowed"

@@ -78,24 +78,11 @@ def main():
     spec = spec0.with_sched(tuple(max(c) for c in zip(*scheds)))
     print(f"sched {spec.pack_caps}", file=sys.stderr)
     # stage inputs in the kernel's natural layout once, outside the
-    # timed chains (the in-jit reshape is a relayout copy — round 5)
-    rb = (spec.tree_rows // min(128, spec.tree_rows)) * spec.block
-    if (not spec.signed and spec.max_width <= 16
-        and spec.block % 2 == 0):
-        # pair-pack once on device, outside timing (the production
-        # host path gets this for free: stage_natural views the u16
-        # batch as u32 pairs)
-        import functools as _ft
+    # timed chains (stage_natural_device: shared with bench.py)
+    from trpx_tpu.ops.pallas_pack import stage_natural_device
 
-        @_ft.partial(jax.jit, static_argnums=1)
-        def _pack(x, F_):
-            v = x.astype(jnp.uint32).reshape(F_, -1, 2)
-            return (v[..., 0] | (v[..., 1] << 16)).reshape(
-                F_, -1, rb // 2)
-
-        xs = [jax.block_until_ready(_pack(x, F)) for x in xs]
-    else:
-        xs = [jax.block_until_ready(x.reshape(F, -1, rb)) for x in xs]
+    xs = [jax.block_until_ready(stage_natural_device(spec, x, F))
+          for x in xs]
 
     if what in ("enc", "both"):
         def mk_enc(chain):

@@ -63,23 +63,19 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
     unsigned <=16-bit only)."""
     B = spec.block
     if pairs:
-        us = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
-        setbits = us[0] & _U32(0xFFFF) | (us[0] >> _U32(16))
-        for u in us[1:]:
-            setbits = setbits | (u & _U32(0xFFFF)) | (u >> _U32(16))
+        mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
+        mags = ([u & _U32(0xFFFF) for u in mags]
+                + [u >> _U32(16) for u in mags])
     elif spec.signed:
         mags = [
             jax.lax.bitcast_convert_type(jnp.where(v < 0, -v, v), _U32)
             for v in vplanes
         ]
-        setbits = mags[0]
-        for m in mags[1:]:
-            setbits = setbits | m
     else:
         mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
-        setbits = mags[0]
-        for m in mags[1:]:
-            setbits = setbits | m
+    setbits = mags[0]
+    for m in mags[1:]:
+        setbits = setbits | m
     nz = setbits != 0
     width = jnp.where(
         nz, _I32(32) - jax.lax.clz(setbits).astype(_I32), _I32(0)
@@ -256,6 +252,12 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     ph = phase.astype(_U32)                                 # (R, L)
     stride = 4 if spec.max_width <= 8 else (
         2 if spec.max_width <= 16 else 1)
+    if pairs and stride != 2:
+        # pair planes hold exactly TWO values; a stride-4 group would
+        # read values j+2/j+3 from the wrong word (review finding,
+        # round 5) — the staging gates keep <=8-bit specs on the value
+        # route, this guards direct callers
+        raise ValueError("pair-packed input needs 8 < max_width <= 16")
     wu = jnp.clip(width, 0, 31).astype(_U32)
     zplane = jnp.zeros((R, L), _U32)
 
@@ -533,7 +535,7 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref,
         # (stage_natural): two values per word, HALF the in-VMEM
         # transpose — the single largest encode cut (round 5)
         pairs = (xi.dtype == jnp.uint32 and not spec.signed
-                 and spec.max_width <= 16)
+                 and 8 < spec.max_width <= 16)
         if xi.shape[0] < L:  # zero pad rows live in VMEM, not HBM
             xi = jnp.concatenate(
                 [xi, jnp.zeros((L - xi.shape[0], xi.shape[1]),
@@ -746,8 +748,8 @@ def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
     L = min(128, P)
     R = P // L
     B = spec.block
-    pairs = (not spec.signed and spec.max_width <= 16 and B % 2 == 0
-             and frames.dtype == np.uint16)
+    pairs = (not spec.signed and 8 < spec.max_width <= 16
+             and B % 2 == 0 and frames.dtype == np.uint16)
     if P >= 128 and not spec.pallas_ok:
         # TILED kernel layout (F, T, L, R*B[/2]); callers pad to
         # spec.n_staged_tiled (bench.staged_values does)
@@ -768,6 +770,21 @@ def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
         return frames.view(np.uint32).reshape(
             frames.shape[0], Lr, (R * B) // 2)
     return frames.reshape(frames.shape[0], Lr, R * B)
+
+
+def stage_natural_device(spec: FrameSpec, frames, F: int):
+    """Device-side twin of stage_natural for an ALREADY-RESIDENT padded
+    2-D batch (bench/tool staging outside timed chains; production hosts
+    use the free numpy-view stage_natural instead). Returns the 3-D
+    kernel layout — pair-packed u32 under the same conditions."""
+    P = spec.tree_rows
+    L = min(128, P)
+    rb = (P // L) * spec.block
+    if (not spec.signed and 8 < spec.max_width <= 16
+            and spec.block % 2 == 0):
+        v = frames.astype(jnp.uint32).reshape(F, -1, 2)
+        return (v[..., 0] | (v[..., 1] << 16)).reshape(F, -1, rb // 2)
+    return frames.reshape(F, -1, rb)
 
 
 def encode(
@@ -865,7 +882,7 @@ def _tiled_kernel(tspec: FrameSpec, n_total: int,
 
     xi = frame_ref[0, 0]
     pairs = (xi.dtype == jnp.uint32 and not tspec.signed
-             and tspec.max_width <= 16)
+             and 8 < tspec.max_width <= 16)
     if pairs:
         vplanes = _natural_planes(
             jax.lax.bitcast_convert_type(xi, _I32), R, B // 2)

@@ -458,7 +458,8 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
     # at [l, r*B+j] IS flat frame order, so the host's reshape is free
     # (the old (F,B,R,L) output needed an XLA transpose materialization)
     zero_p = jnp.zeros((R, L), _I32)
-    if not spec.signed and spec.max_width <= 16 and B % 2 == 0:
+    if (not spec.signed and spec.max_width <= 16 and B % 2 == 0
+            and cut is None):  # cuts declare (R*B, int32) (_out_layout)
         # PAIR-PACKED output (values (2k, 2k+1) little-endian per uint32
         # word): the final in-VMEM transpose — the decode twin of the
         # encode input transpose — moves HALF the words; the host views

@@ -231,13 +231,17 @@ class StreamingShardEncoder:
         try:
             import jax
 
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
+            multi = jax.process_count() > 1
+        except Exception:  # no distributed runtime: single-process run
+            return
+        if multi:
+            from jax.experimental import multihost_utils
 
-                multihost_utils.sync_global_devices(
-                    f"{tag}-{self.m.frames_done}")
-        except Exception:
-            pass
+            # barrier FAILURES must raise: checkpointing a chunk whose
+            # peers' writes are unconfirmed would let a later resume
+            # skip frames that never became durable
+            multihost_utils.sync_global_devices(
+                f"{tag}-{self.m.frames_done}")
 
     @property
     def frames_done(self) -> int:

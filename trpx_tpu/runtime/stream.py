@@ -613,7 +613,16 @@ def iter_decode(archive, dtype, chunk_frames: int = 256,
                 tiled = False
                 sched = None  # tile schedule is not a whole-frame one
         if not tiled:
-            fut = run(spec, words, widths_p, None, sched)
+            if (jax.default_backend() == "tpu"
+                    and not spec.pallas_ok_decode):
+                # the tiled Pallas route failed above: go STRAIGHT to
+                # the jnp split tree — run() would route a big-frame
+                # spec right back into the same tiled machinery
+                fut = decode_batch_device(
+                    spec, jnp.asarray(words),
+                    jnp.asarray(widths_p.astype(np.int32)), None)
+            else:
+                fut = run(spec, words, widths_p, None, sched)
         if pending is not None:
             yield _drain(pending)  # walk of THIS chunk already overlapped
         pending = (fut, nf)
