@@ -213,3 +213,46 @@ def test_streaming_resume_refuses_missing_part(tmp_path):
     (tmp_path / "m.trpx.part").unlink()
     with pytest.raises(FileNotFoundError):
         StreamingEncoder(p, nvalues=50, dtype=np.uint16)
+
+
+def test_iter_decode_tiled_failure_falls_back_to_jnp(monkeypatch, recwarn):
+    """If the tiled Pallas route fails mid-stream, the fallback must go
+    STRAIGHT to the jnp split tree (run() would route a big-frame spec
+    right back into the same tiled machinery) and still decode exactly
+    (round-5 review finding)."""
+    import warnings
+
+    import jax
+
+    from trpx_tpu import _fallback
+    from trpx_tpu.ops import pallas_unpack
+    from trpx_tpu.runtime import stream as stream_mod
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    frames = rng.poisson(3.0, size=(6, n)).astype(np.uint16)
+    arch = pycodec.encode(list(frames))
+
+    # pretend we're on a TPU backend with a big-frame spec so the tiled
+    # branch is taken, and make its prepass blow up like a Mosaic
+    # lowering failure would
+    monkeypatch.setattr(stream_mod.jax if hasattr(stream_mod, "jax")
+                        else jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic Mosaic lowering failure")
+
+    monkeypatch.setattr(pallas_unpack, "tile_prepass", boom)
+
+    spec = FrameSpec.for_dtype(n, np.uint16)
+    if spec.pallas_ok_decode:
+        # force the tiled branch even for this (suite-sized) spec
+        monkeypatch.setattr(
+            FrameSpec, "pallas_ok_decode",
+            property(lambda self: False))
+    _fallback._seen.discard("stream.tiled_decode")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        got = np.concatenate(list(stream_mod.iter_decode(
+            arch, np.uint16, chunk_frames=3, device=True)))
+    np.testing.assert_array_equal(got, frames)
