@@ -57,7 +57,11 @@ def main():
                                   (F, n_full)) < 200.0 / n)
         return jnp.where(hot & (lane < n), jnp.uint16(60000), x)
 
-    xs = [jax.block_until_ready(synth(s)) for s in range(N2)]
+    from trpx_tpu.ops.pallas_pack import stage_natural_device
+
+    # production staging (pair-packed kernel layout), outside timing
+    xs = [jax.block_until_ready(stage_natural_device(spec, synth(s), F))
+          for s in range(N2)]
 
     def tmin(fn, args, reps=7):
         ts = []
