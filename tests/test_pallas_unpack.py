@@ -58,3 +58,37 @@ def test_interpret_i8_pair_fusing():
     np.testing.assert_array_equal(
         narrow_values(pallas_unpack.flatten_decoded(out, 500),
                       np.dtype(np.int8)), frames)
+
+
+def test_staged_inputs_match_legacy_paths():
+    """stage_decode_inputs' pre-staged word grid + width planes must
+    decode identically to the legacy 2-D inputs (in-jit pad/reshape),
+    and flatten_decoded must invert the pair-packed output exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from trpx_tpu.ops.coding import FrameSpec, walk_archive
+    from trpx_tpu.ops.pallas_unpack import (
+        choose_schedule,
+        flatten_decoded,
+        stage_decode_inputs,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    frames = rng.poisson(3.0, size=(4, n)).astype(np.uint16)
+    frames[0, 5] = 60000
+    arch = pycodec.encode(list(frames))
+    spec = FrameSpec.for_dtype(n, np.uint16)
+    widths, _p, words = walk_archive(arch, spec)
+    sched = choose_schedule(spec, widths)
+
+    legacy = jax.device_get(pallas_unpack.decode_batch_pallas(
+        spec, jnp.asarray(words), jnp.asarray(widths.astype(np.uint8)),
+        True, sched))
+    w3, d3 = stage_decode_inputs(spec, words, widths)
+    staged = jax.device_get(pallas_unpack.decode_batch_pallas(
+        spec, jnp.asarray(w3), jnp.asarray(d3), True, sched))
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(staged))
+    np.testing.assert_array_equal(
+        flatten_decoded(staged, n).astype(np.uint16), frames)
