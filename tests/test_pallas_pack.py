@@ -120,3 +120,25 @@ def test_tiled_pair_packed_input_bit_identity():
         assert arch.payload == pycodec.encode(list(fr)).payload
     finally:
         pp.TILE_BLOCKS = tb_save
+
+
+def test_quad_packed_u8_input_bit_identity():
+    """u8 QUAD route (four values per u32 word — quarter transpose)
+    must stay bit-identical to the normative codec."""
+    import jax
+
+    from trpx_tpu.ops.coding import FrameSpec, assemble_archive
+    from trpx_tpu.ops.pallas_pack import encode_batch_pallas, stage_natural
+
+    rng = np.random.default_rng(23)
+    for n in (5000, 12 * 4096 + 5):
+        spec = FrameSpec.for_dtype(n, np.uint8, cap_ratio=0.5)
+        fr = rng.poisson(2.0, size=(3, n)).astype(np.uint8)
+        fr[0, 7] = 255
+        padded = np.zeros((3, spec.n_staged), np.uint8)
+        padded[:, :n] = fr
+        x3 = stage_natural(spec, padded)
+        assert x3.dtype == np.uint32          # quad route taken
+        w, b, m, o = jax.device_get(encode_batch_pallas(spec, x3, True))
+        arch = assemble_archive(spec, w, b, m)
+        assert arch.payload == pycodec.encode(list(fr)).payload, f"n={n}"

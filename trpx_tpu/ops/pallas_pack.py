@@ -48,6 +48,20 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
+def _pack_factor(spec: FrameSpec, in_dtype) -> int:
+    """Values per uint32 word for PACKED natural input: 2 (u16 pairs)
+    or 4 (u8 quads) when the input arrives as uint32 words for an
+    unsigned narrow spec with a matching even block, else 0 (value
+    planes). Must equal the staging stride (see _encode_body)."""
+    if in_dtype != jnp.uint32 or spec.signed:
+        return 0
+    if spec.max_width <= 8 and spec.block % 4 == 0:
+        return 4
+    if 8 < spec.max_width <= 16 and spec.block % 2 == 0:
+        return 2
+    return 0
+
+
 def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
                  block_offset=None, n_total: int | None = None,
                  prev0=None, pairs: bool = False):
@@ -62,7 +76,12 @@ def _plan_planes(spec: FrameSpec, vplanes, R: int, L: int,
     word, values (2k, 2k+1) in plane k — the pair-packed input path;
     unsigned <=16-bit only)."""
     B = spec.block
-    if pairs:
+    if pairs == 4:
+        # quad planes: four u8 values per word (values 4k..4k+3)
+        mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
+        mags = [(u >> _U32(8 * d)) & _U32(0xFF)
+                for u in mags for d in range(4)]
+    elif pairs:
         mags = [jax.lax.bitcast_convert_type(v, _U32) for v in vplanes]
         mags = ([u & _U32(0xFFFF) for u in mags]
                 + [u >> _U32(16) for u in mags])
@@ -252,12 +271,14 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
     ph = phase.astype(_U32)                                 # (R, L)
     stride = 4 if spec.max_width <= 8 else (
         2 if spec.max_width <= 16 else 1)
-    if pairs and stride != 2:
-        # pair planes hold exactly TWO values; a stride-4 group would
-        # read values j+2/j+3 from the wrong word (review finding,
-        # round 5) — the staging gates keep <=8-bit specs on the value
-        # route, this guards direct callers
-        raise ValueError("pair-packed input needs 8 < max_width <= 16")
+    if pairs and stride != pairs:
+        # a packed plane holds exactly `pairs` values (2 for u16 pairs,
+        # 4 for u8 quads); any other stride would read neighbours from
+        # the wrong word (review finding, round 5) — the staging gates
+        # match dtype to packing, this guards direct callers
+        raise ValueError(
+            f"packed input with {pairs} values/word needs stride == "
+            f"{pairs} (got {stride} for max_width {spec.max_width})")
     wu = jnp.clip(width, 0, 31).astype(_U32)
     zplane = jnp.zeros((R, L), _U32)
 
@@ -296,11 +317,11 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                 ]
         valid = (j < counts) & (width > 0)
         if pairs:
-            # one PAIR plane holds the whole group: low half = value j,
-            # high half = value j+1 (the input transpose moved half the
-            # words; unpacking here is the same shift/mask the separate
-            # planes needed anyway)
-            u = jax.lax.bitcast_convert_type(vplanes[j // 2], _U32)
+            # one PACKED plane holds the whole group (2 values/word for
+            # u16 pairs, 4 for u8 quads — the input transpose moved
+            # 1/pairs of the words; unpacking here is the same
+            # shift/mask the separate planes needed anyway)
+            u = jax.lax.bitcast_convert_type(vplanes[j // pairs], _U32)
             vu = u & wmask
         else:
             vu = jax.lax.bitcast_convert_type(vplanes[j], _U32) & wmask
@@ -310,7 +331,7 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
                 continue
             validd = (j + d < counts) & (width > 0)
             if pairs:
-                vud = (u >> _U32(16)) & wmask
+                vud = (u >> _U32((32 // pairs) * d)) & wmask
             else:
                 vud = (jax.lax.bitcast_convert_type(vplanes[j + d], _U32)
                        & wmask)
@@ -534,19 +555,18 @@ def _kernel(spec: FrameSpec, frame_ref, words_ref,
         # uint32 input for an unsigned <=16-bit spec = PAIR-PACKED rows
         # (stage_natural): two values per word, HALF the in-VMEM
         # transpose — the single largest encode cut (round 5)
-        pairs = (xi.dtype == jnp.uint32 and not spec.signed
-                 and 8 < spec.max_width <= 16)
+        pairs = _pack_factor(spec, xi.dtype)
         if xi.shape[0] < L:  # zero pad rows live in VMEM, not HBM
             xi = jnp.concatenate(
                 [xi, jnp.zeros((L - xi.shape[0], xi.shape[1]),
                                xi.dtype)], axis=0)
         if pairs:
             vplanes = _natural_planes(
-                jax.lax.bitcast_convert_type(xi, _I32), R, B // 2)
+                jax.lax.bitcast_convert_type(xi, _I32), R, B // pairs)
         else:
             vplanes = _natural_planes(xi, R, B)
     else:
-        pairs = False
+        pairs = 0
         vplanes = [frame_ref[0, j].astype(_I32) for j in range(B)]
     row, _, total, maxw, over = _encode_body(spec, vplanes, ow_pad,
                                              cut=cut, pairs=pairs)
@@ -748,8 +768,14 @@ def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
     L = min(128, P)
     R = P // L
     B = spec.block
-    pairs = (not spec.signed and 8 < spec.max_width <= 16
-             and B % 2 == 0 and frames.dtype == np.uint16)
+    pairs = 0
+    if not spec.signed:
+        if (8 < spec.max_width <= 16 and B % 2 == 0
+                and frames.dtype == np.uint16):
+            pairs = 2
+        elif (spec.max_width <= 8 and B % 4 == 0
+              and frames.dtype == np.uint8):
+            pairs = 4
     if P >= 128 and not spec.pallas_ok:
         # TILED kernel layout (F, T, L, R*B[/2]); callers pad to
         # spec.n_staged_tiled (bench.staged_values does)
@@ -763,12 +789,12 @@ def stage_natural(spec: FrameSpec, frames: np.ndarray) -> np.ndarray:
                 f"{T * Tb * B}, got {frames.shape[1]}")
         if pairs:
             return frames.view(np.uint32).reshape(
-                frames.shape[0], T, Lt, (Rt * B) // 2)
+                frames.shape[0], T, Lt, (Rt * B) // pairs)
         return frames.reshape(frames.shape[0], T, Lt, Rt * B)
     Lr = min(L, _round_up(-(-spec.n // (R * B)), 8))
     if pairs:
         return frames.view(np.uint32).reshape(
-            frames.shape[0], Lr, (R * B) // 2)
+            frames.shape[0], Lr, (R * B) // pairs)
     return frames.reshape(frames.shape[0], Lr, R * B)
 
 
@@ -780,10 +806,14 @@ def stage_natural_device(spec: FrameSpec, frames, F: int):
     P = spec.tree_rows
     L = min(128, P)
     rb = (P // L) * spec.block
-    if (not spec.signed and 8 < spec.max_width <= 16
-            and spec.block % 2 == 0):
+    if not spec.signed and 8 < spec.max_width <= 16 \
+            and spec.block % 2 == 0:
         v = frames.astype(jnp.uint32).reshape(F, -1, 2)
         return (v[..., 0] | (v[..., 1] << 16)).reshape(F, -1, rb // 2)
+    if not spec.signed and spec.max_width <= 8 and spec.block % 4 == 0:
+        v = frames.astype(jnp.uint32).reshape(F, -1, 4)
+        return (v[..., 0] | (v[..., 1] << 8) | (v[..., 2] << 16)
+                | (v[..., 3] << 24)).reshape(F, -1, rb // 4)
     return frames.reshape(F, -1, rb)
 
 
@@ -881,11 +911,10 @@ def _tiled_kernel(tspec: FrameSpec, n_total: int,
     acc = jnp.where(t == 0, _I32(0), carry_ref[1])
 
     xi = frame_ref[0, 0]
-    pairs = (xi.dtype == jnp.uint32 and not tspec.signed
-             and 8 < tspec.max_width <= 16)
+    pairs = _pack_factor(tspec, xi.dtype)
     if pairs:
         vplanes = _natural_planes(
-            jax.lax.bitcast_convert_type(xi, _I32), R, B // 2)
+            jax.lax.bitcast_convert_type(xi, _I32), R, B // pairs)
     else:
         vplanes = _natural_planes(xi, R, B)
     row, lastw, total, maxw, over = _encode_body(
