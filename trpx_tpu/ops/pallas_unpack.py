@@ -41,6 +41,9 @@ _I32 = jnp.int32
 #: mid-validation (round 5); interpret-green does not prove Mosaic
 #: lowering (see the S==1 episode).
 _DYN_ROLL = False
+#: with _DYN_ROLL on, use dynamic rolls for splits with at most this
+#: many nodes (per-node dynamic rolls; beyond it the static chain wins)
+_DYN_ROLL_MAXM = 1
 
 
 def _round_up(x: int, m: int) -> int:
@@ -288,12 +291,16 @@ def _decode_body(spec: FrameSpec, w_pad: int, ratio: float,
         # chain is an extra unfused pass per level. Reverted.)
         roll3 = (_roll3_down_nz if C >= Cc + la_w_max + 2
                  else _roll3_down)
-        if _DYN_ROLL and M == 1 and la_w_max >= 8:
-            # single node: one dynamic two-axis roll instead of
-            # log2(la_w_max) static roll-select passes
-            kw = ((pa2 + la) >> 5)[0, 0]
-            Bp = roll_down_dyn1(rows3, kw,
-                                zero_wrap=C < Cc + la_w_max + 2)
+        if _DYN_ROLL and M <= _DYN_ROLL_MAXM and la_w_max >= 8:
+            # few nodes: one dynamic two-axis roll PER NODE instead of
+            # log2(la_w_max) static roll-select passes over all of them
+            kws = (pa2 + la) >> 5                           # (M, 1)
+            zw = C < Cc + la_w_max + 2
+            parts = [
+                roll_down_dyn1(rows3[m : m + 1], kws[m, 0], zero_wrap=zw)
+                for m in range(M)
+            ]
+            Bp = parts[0] if M == 1 else jnp.concatenate(parts, axis=0)
         else:
             k3 = (cut3 >> 5).astype(_U32)
             Bp = rows3
