@@ -36,7 +36,8 @@ from trpx_tpu.ops.pallas_unpack import (  # noqa: E402
     decode_batch_pallas,
 )
 
-N1, N2 = 1, 9
+N1 = int(os.environ.get("TRPX_SLOPE_N1", "1"))
+N2 = int(os.environ.get("TRPX_SLOPE_N2", "9"))
 
 
 def synth(spec, F, seed, n):

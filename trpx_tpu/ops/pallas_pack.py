@@ -34,6 +34,7 @@ Soft capacities + overflow detection work exactly as in ops/pack.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coding import FrameSpec
 from .pack import row_capacity
+
+#: dynamic-roll lift for the encode phase-2 merges with few nodes — the
+#: mirror of pallas_unpack._DYN_ROLL (device-validated round 5): one
+#: traced-shift cyclic UP-rotation per node instead of ~log2(C) static
+#: roll-select passes. Phase 1 cannot use it (its lift k varies per
+#: LANE — independent trees — and pltpu.roll shifts are scalars);
+#: phase 2's k is per-node scalar. TRPX_DYN_ROLL_ENC=0 restores the
+#: static chain.
+_DYN_ROLL_ENC = os.environ.get("TRPX_DYN_ROLL_ENC", "0") == "1"
+_DYN_ROLL_ENC_MAXM = int(os.environ.get("TRPX_DYN_ROLL_ENC_MAXM", "1"))
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -468,14 +479,25 @@ def _encode_body(spec: FrameSpec, vplanes, ow_pad: int,
         la = la_p[:, :1].astype(_I32)                       # (M, 1)
         pa2 = pa_p[:, :1].astype(_I32)                      # (M, 1)
         # phase-aligned: word-granularity lift only (no bit funnel)
-        k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, S)
-        step = 1
-        j = 0
-        while step < C:
-            bit = ((k3 >> j) & 1) != 0
-            Bp = jnp.where(bit, _roll3_up_nz(Bp, step), Bp)
-            step *= 2
-            j += 1
+        if _DYN_ROLL_ENC and M <= _DYN_ROLL_ENC_MAXM and C >= 512:
+            # few nodes: one dynamic rotation PER NODE instead of
+            # ~log2(C) static roll-select passes over all of them
+            kws = ((pa2 + la) >> 5).astype(_I32)            # (M, 1)
+            parts = [
+                _roll3_up_dyn1(Bp[m : m + 1], kws[m, 0])
+                for m in range(M)
+            ]
+            Bp = parts[0] if M == 1 else jnp.concatenate(parts, axis=0)
+            k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, S)
+        else:
+            k3 = _bcast3(((pa2 + la) >> 5).astype(_U32), M, S)
+            step = 1
+            j = 0
+            while step < C:
+                bit = ((k3 >> j) & 1) != 0
+                Bp = jnp.where(bit, _roll3_up_nz(Bp, step), Bp)
+                step *= 2
+                j += 1
         sub_i = jax.lax.broadcasted_iota(_I32, (M, S, 128), 1)
         lane_i = jax.lax.broadcasted_iota(_I32, (M, S, 128), 2)
         ge = (sub_i * 128 + lane_i) >= \
@@ -625,6 +647,26 @@ def _roll3_up_nz(x, step: int):
     b = jnp.roll(a, 1, axis=1) if S > 1 else a
     lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
     return jnp.where(lane >= step, a, b)
+
+
+def _roll3_up_dyn1(x, kscal):
+    """(1, S, 128) cyclic UP-rotation by a TRACED k words (w -> w + k
+    mod S*128): lane rotation + sublane-carry select + sublane rotation
+    — the encode mirror of pallas_unpack's roll_down_dyn1. Replaces the
+    ~log2(C) static roll-select passes at merge levels whose lift k is
+    a single scalar (M == 1 top levels). The wrap needs no mask: the
+    half-buffer cyclic merge routes wrapped words by the word-index
+    >= k select at assembly (round 4)."""
+    M1, S, Lx = x.shape
+    klane = (kscal % Lx).astype(_I32)
+    a1 = pltpu.roll(x, klane, 2)
+    if S == 1:
+        return a1  # rotation mod 128 is the whole rotation
+    b1 = pltpu.roll(a1, 1, 1)
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 2)
+    a2 = jnp.where(lane >= klane, a1, b1)
+    ksub = ((kscal // Lx) % S).astype(_I32)
+    return pltpu.roll(a2, ksub, 1)
 
 
 def _roll3_down_nz(x, step: int):

@@ -22,6 +22,7 @@ Output: (B, R, L) int32 value planes, rearranged host-side.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +38,16 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 #: dynamic-roll lift for the single-node top splits (one traced-shift
 #: pltpu.roll pair instead of ~log2(cap) static roll-select passes).
-#: OFF until the device smoke gate validates it — the tunnel went down
-#: mid-validation (round 5); interpret-green does not prove Mosaic
-#: lowering (see the S==1 episode).
-_DYN_ROLL = False
+#: ON by default since round 5: device smoke gate green with the lift
+#: enabled (18/18 seeded trials incl. S==1 / tiled / routing-frontier),
+#: and interleaved long-chain slope timing (N2=21, three process-level
+#: A/B pairings) reads 3.47-3.70 ms/256fr vs 3.70-3.77 with the static
+#: chain — a consistent 3-7% decode win. TRPX_DYN_ROLL=0 restores the
+#: static roll-select chain.
+_DYN_ROLL = os.environ.get("TRPX_DYN_ROLL", "1") == "1"
 #: with _DYN_ROLL on, use dynamic rolls for splits with at most this
 #: many nodes (per-node dynamic rolls; beyond it the static chain wins)
-_DYN_ROLL_MAXM = 1
+_DYN_ROLL_MAXM = int(os.environ.get("TRPX_DYN_ROLL_MAXM", "1"))
 
 
 def _round_up(x: int, m: int) -> int:
